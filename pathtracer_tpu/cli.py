@@ -1,0 +1,147 @@
+"""Command-line entry point.
+
+Keeps the reference's CLI contract — ``main scene=<file> frame=<n>``
+key=value arguments (``src/main.cpp:32-43``) — and layers standard flags
+on top.  Where the reference drives a GLUT window and re-renders forever
+(``main.cpp:94,201``), this is a headless progressive renderer with
+periodic preview dumps, per-frame image save, multi-frame animation
+advance (``main.cpp:163-173``), and checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.ops.tonemap import tonemap
+from pathtracer_tpu.scene.parser import load_scene
+from pathtracer_tpu.utils.imageio import save_image
+
+
+def _split_kv_args(argv):
+    """Accept the reference's `scene=x frame=n` positionals alongside
+    normal flags."""
+    kv, rest = {}, []
+    for a in argv:
+        if "=" in a and not a.startswith("-"):
+            k, v = a.split("=", 1)
+            kv[k] = v
+        else:
+            rest.append(a)
+    return kv, rest
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        prog="pathtracer-tpu", description="TPU-native differentiable path tracer"
+    )
+    p.add_argument("--scene", help="scene DSL file")
+    p.add_argument("--frame", type=int, default=0, help="start animation frame")
+    p.add_argument("--spp", type=int, default=None, help="override ITERATIONS")
+    p.add_argument("--depth", type=int, default=8, help="max path depth")
+    p.add_argument("--out", default=None, help="override output image path")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-jitter", action="store_true", help="disable AA jitter")
+    p.add_argument(
+        "--engine",
+        choices=["wavefront", "megakernel"],
+        default="wavefront",
+        help="path tracing engine",
+    )
+    p.add_argument("--preview-every", type=int, default=0, help="dump preview PNG every N spp")
+    p.add_argument("--checkpoint-every", type=int, default=0, help="save resume state every N spp")
+    p.add_argument("--checkpoint", default=None, help="checkpoint file to resume from / write")
+    p.add_argument("--all-frames", action="store_true", help="render every animation frame")
+    return p
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    kv, rest = _split_kv_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(rest)
+    if "scene" in kv:
+        args.scene = kv["scene"]
+    if "frame" in kv:
+        args.frame = int(kv["frame"])
+    if not args.scene:
+        parser.error("a scene file is required (scene=<file> or --scene)")
+
+    desc = load_scene(args.scene)
+    spp = args.spp if args.spp is not None else desc.iterations
+    cfg = RenderConfig(
+        max_depth=args.depth,
+        jitter=not args.no_jitter,
+        seed=args.seed,
+        wavefront=(args.engine == "wavefront"),
+    )
+
+    from pathtracer_tpu.render.integrator import render
+    from pathtracer_tpu.utils import checkpoint as ckpt
+
+    frames = range(desc.frames) if args.all_frames else [args.frame]
+    for frame in frames:
+        scene = desc.scene_for_frame(frame)
+        w, h = scene.camera.width, scene.camera.height
+        print(
+            f"[pathtracer-tpu] frame {frame}: {w}x{h}, {spp} spp, depth "
+            f"{cfg.max_depth}, engine={args.engine}, devices={jax.device_count()}"
+        )
+
+        accum = None
+        start_it = 0
+        if args.checkpoint:
+            state = ckpt.load(args.checkpoint)
+            if state is not None and state["frame"] == frame:
+                accum, start_it = state["accum"], int(state["spp_done"])
+                print(f"  resumed at {start_it} spp from {args.checkpoint}")
+
+        t0 = time.perf_counter()
+        last = {"t": t0, "spp": start_it}
+
+        def progress(done_in_run, acc, *, _frame=frame):
+            done = start_it + done_in_run
+            now = time.perf_counter()
+            if args.preview_every and done % args.preview_every == 0:
+                img = np.asarray(tonemap(acc.reshape(h, w, 3), done))
+                save_image(_out_path(args, desc, _frame, suffix=f".preview"), img)
+            if args.checkpoint and args.checkpoint_every and done % args.checkpoint_every == 0:
+                ckpt.save(args.checkpoint, acc, done, _frame, cfg.seed)
+            rate = (done - last["spp"]) * w * h / max(now - last["t"], 1e-9) / 1e6
+            last["t"], last["spp"] = now, done
+            print(f"  {done}/{start_it + (spp - start_it)} spp  ({rate:.1f} Mpaths/s)")
+
+        img, accum = render(
+            scene,
+            spp - start_it,
+            cfg,
+            base_key=jax.random.PRNGKey(cfg.seed),
+            accum=accum,
+            start_iteration=start_it,
+            progress_fn=progress,
+        )
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        out = _out_path(args, desc, frame)
+        path = save_image(out, np.asarray(img))
+        print(f"  saved {path} ({dt:.1f}s, {(spp - start_it) * w * h / dt / 1e6:.1f} Mpaths/s)")
+    return 0
+
+
+def _out_path(args, desc, frame, suffix=""):
+    base = args.out or desc.image_name
+    if "." in base:
+        stem, ext = base.rsplit(".", 1)
+    else:
+        stem, ext = base, "png"
+    # reference appends ".<frame>" before the extension (main.cpp:148-152)
+    return f"{stem}.{frame}{suffix}.{ext}"
+
+
+if __name__ == "__main__":
+    sys.exit(main())

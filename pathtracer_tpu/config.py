@@ -1,0 +1,25 @@
+"""Render configuration.
+
+The reference scatters its render settings across the scene DSL camera
+block (RES / FOVY / ITERATIONS / FILE, ``src/scene.cpp:141-188``) and
+hardcoded constants (``traceDepth = 1`` at ``raytraceKernel.cu:166``,
+``tileSize = 8`` at ``:169``).  Here they live in one dataclass that is
+hashable (usable as a static jit argument) and overridable from the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    max_depth: int = 8  # bounces per path (reference basecode: 1)
+    jitter: bool = True  # supersampled AA (README.md:49)
+    russian_roulette: bool = False  # RR path termination after rr_start bounces
+    rr_start: int = 3
+    iters_per_launch: int = 16  # progressive iterations fused into one jit call
+    wavefront: bool = False  # wavefront+compaction engine vs masked megakernel
+    accum_dtype: str = "float32"  # HDR sum accumulator dtype
+    compute_dtype: str = "float32"
+    seed: int = 0

@@ -1,0 +1,155 @@
+"""Batched, branch-free primitive intersection.
+
+TPU-native re-design of the reference's per-thread intersection header
+(``src/intersections.h``): unit primitives in object space (sphere r=0.5,
+cube side 1, ``intersections.h:73-75,168``) tested via the inverse
+transform, but computed as one vectorized ``[N rays, G geoms]`` sweep with
+``jnp.where`` masks instead of early returns, so the whole thing maps onto
+the VPU and is smooth-almost-everywhere under ``jax.grad``.
+
+A key simplification over the reference: the reference re-normalizes the
+object-space direction and converts the hit back to a world-space distance
+via two matrix multiplies and a ``length`` (``intersections.h:188-201``).
+We leave the object-space direction **unnormalized**; because the
+instance map is affine, the ray parameter ``t`` is then shared between
+object and world space, so ``t`` from the object-space quadratic/slab test
+is already the world-space distance (given ``|d_world| = 1``) and the hit
+point is just ``o + t*d`` — no back-transform needed for ``t``.
+
+Box face normals: the reference picks the face by epsilon-chained ifs
+(``intersections.h:144-156``); we use argmax over ``|p_obj|`` (smooth a.e.,
+SURVEY.md §7 hard-parts list).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops.transforms import transform_dir, transform_normal, transform_point
+from pathtracer_tpu.scene.structs import CUBE, SPHERE, Geoms, Rays, pytree_dataclass
+
+# "miss" sentinel (finite: keeps grads NaN-free).  Plain python float, NOT a
+# jnp array: module-level jax Arrays get lifted into compiled executables as
+# weakly-held const-args in this jax version, which breaks later calls.
+BIG = 1e30
+T_MIN = 1e-4  # min accepted hit distance (reference getPointOnRay bias, intersections.h:46-48)
+
+
+@pytree_dataclass
+class Hit:
+    """Per-ray nearest-hit record (SoA)."""
+
+    t: jax.Array  # [N] world-space distance; >= BIG => miss
+    hit: jax.Array  # [N] bool
+    geom_id: jax.Array  # [N] int32 (valid only where hit)
+    material_id: jax.Array  # [N] int32
+    position: jax.Array  # [N, 3] world-space hit point
+    normal: jax.Array  # [N, 3] world-space unit normal
+
+
+def _safe_div(num, den, eps=1e-12):
+    den = jnp.where(jnp.abs(den) < eps, jnp.where(den >= 0, eps, -eps), den)
+    return num / den
+
+
+def sphere_t(o_obj: jax.Array, d_obj: jax.Array, t_min=T_MIN) -> jax.Array:
+    """Nearest positive intersection parameter with the unit sphere
+    (radius 0.5) or BIG.  ``o_obj``/``d_obj``: ``[..., 3]`` object-space ray
+    (direction deliberately unnormalized — see module docstring).
+    Reference analog: ``sphereIntersectionTest`` (intersections.h:168-204).
+    """
+    a = jnp.sum(d_obj * d_obj, axis=-1)
+    b = jnp.sum(o_obj * d_obj, axis=-1)
+    c = jnp.sum(o_obj * o_obj, axis=-1) - 0.25
+    disc = b * b - a * c
+    valid = disc > 0
+    sq = jnp.sqrt(jnp.where(valid, disc, 0.0))
+    inv_a = _safe_div(1.0, a)
+    t0 = (-b - sq) * inv_a
+    t1 = (-b + sq) * inv_a
+    t = jnp.where(t0 > t_min, t0, t1)
+    return jnp.where(valid & (t > t_min), t, BIG)
+
+
+def cube_t(o_obj: jax.Array, d_obj: jax.Array, t_min=T_MIN) -> jax.Array:
+    """Nearest positive intersection with the unit cube [-0.5, 0.5]^3 or
+    BIG, via the slab method (reference: ``boxIntersectionTest``,
+    intersections.h:78-164, which unrolls the same slab logic per axis)."""
+    inv_d = _safe_div(1.0, d_obj)
+    t_lo = (-0.5 - o_obj) * inv_d
+    t_hi = (0.5 - o_obj) * inv_d
+    t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    valid = (t_far >= t_near) & (t_far > t_min)
+    t = jnp.where(t_near > t_min, t_near, t_far)
+    return jnp.where(valid & (t > t_min), t, BIG)
+
+
+def sphere_normal_obj(p_obj: jax.Array) -> jax.Array:
+    n = p_obj
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+
+
+def cube_normal_obj(p_obj: jax.Array) -> jax.Array:
+    """Face normal by argmax |coord| — one-hot with the sign of that
+    coordinate (branch-free version of intersections.h:144-156)."""
+    ax = jnp.abs(p_obj)
+    face = jnp.argmax(ax, axis=-1)
+    onehot = jax.nn.one_hot(face, 3, dtype=p_obj.dtype)
+    return onehot * jnp.sign(
+        jnp.take_along_axis(p_obj, face[..., None], axis=-1)
+    )
+
+
+def intersect_t_sweep(rays: Rays, geoms: Geoms, t_min=T_MIN) -> jax.Array:
+    """Distance-only sweep: ``t[N, G]`` for every (ray, geom) pair.
+
+    This is the reference's per-thread geom loop
+    (``raytraceKernel.cu:137-148``) turned into a dense rank-2 computation;
+    normals are *not* computed here (they're recovered for the argmin geom
+    only, in :func:`intersect_scene`) which keeps the sweep bandwidth-lean.
+    """
+    # object-space rays for every (ray, geom) pair: [N, G, 3] — explicit
+    # fp32 VPU math, not dot_general (see transforms.mat3_apply)
+    inv = geoms.inv_transform[None, :, :, :]  # [1, G, 4, 4]
+    from pathtracer_tpu.ops.transforms import mat3_apply
+
+    o_obj = mat3_apply(inv, rays.origin[:, None, :]) + inv[..., :3, 3]
+    d_obj = mat3_apply(inv, rays.direction[:, None, :])
+
+    ts = sphere_t(o_obj, d_obj, t_min)
+    tc = cube_t(o_obj, d_obj, t_min)
+    gtype = geoms.type[None, :]
+    t = jnp.where(gtype == SPHERE, ts, jnp.where(gtype == CUBE, tc, BIG))
+    return t
+
+
+def intersect_scene(rays: Rays, geoms: Geoms, t_min=T_MIN) -> Hit:
+    """Nearest-hit query for a wavefront of rays against all geoms."""
+    t_all = intersect_t_sweep(rays, geoms, t_min)  # [N, G]
+    geom_id = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [N]
+    t = jnp.take_along_axis(t_all, geom_id[:, None], axis=-1)[:, 0]
+    hit = t < BIG
+
+    # recompute the winning intersection's local frame (gather per ray)
+    inv = geoms.inv_transform[geom_id]  # [N, 4, 4]
+    gtype = geoms.type[geom_id]
+    t_safe = jnp.where(hit, t, 1.0)
+    p_world = rays.origin + t_safe[:, None] * rays.direction
+    p_obj = transform_point(inv, p_world)
+    n_obj = jnp.where(
+        (gtype == SPHERE)[:, None],
+        sphere_normal_obj(p_obj),
+        cube_normal_obj(p_obj),
+    )
+    n_world = transform_normal(inv, n_obj)
+
+    return Hit(
+        t=t,
+        hit=hit,
+        geom_id=geom_id,
+        material_id=geoms.material_id[geom_id],
+        position=p_world,
+        normal=n_world,
+    )

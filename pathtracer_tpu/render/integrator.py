@@ -1,0 +1,123 @@
+"""Progressive render driver.
+
+The reference's host orchestration loop (``runCuda`` ``src/main.cpp:103-176``
++ ``cudaRaytraceCore`` ``src/raytraceKernel.cu:164-227``) re-designed for
+XLA: instead of re-uploading the scene and image every iteration
+(raytraceKernel.cu:174-198/215 — the reference's biggest inefficiency,
+SURVEY.md §3.2), the scene and the HDR sum accumulator stay device-resident,
+the accumulator buffer is donated across calls, and ``iters_per_launch``
+progressive iterations are fused into one compiled ``lax.fori_loop`` so the
+host touches the device once per chunk, not once per sample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.ops import rng
+from pathtracer_tpu.ops.camera import generate_camera_rays
+from pathtracer_tpu.ops.tonemap import tonemap
+from pathtracer_tpu.scene.structs import Scene
+
+
+def render_sample(scene: Scene, pixel_index, iteration, base_key, cfg: RenderConfig):
+    """One progressive iteration: one jittered sample per listed pixel.
+    Returns radiance ``[N, 3]``."""
+    cam_key = rng.stream_key(base_key, iteration, stream=rng.CAMERA)
+    rays = generate_camera_rays(scene.camera, pixel_index, cam_key, jitter=cfg.jitter)
+    path_key = rng.stream_key(base_key, iteration, stream=rng.BSDF)
+    if cfg.wavefront:
+        from pathtracer_tpu.render.wavefront import trace_paths_wavefront
+
+        return trace_paths_wavefront(scene, rays, path_key, cfg)
+    from pathtracer_tpu.render.megakernel import trace_paths
+
+    return trace_paths(scene, rays, path_key, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_executable(cfg: RenderConfig, n_iters: int):
+    """One jit object per (cfg, n_iters).
+
+    A single jit with static args would work too, but separate jit objects
+    keep each config's executable + donation bookkeeping fully independent
+    (interleaving donated calls across configs of one jit object tripped an
+    XLA buffer-count error on the CPU backend)."""
+
+    @functools.partial(jax.jit, donate_argnames=("accum",))
+    def chunk(scene: Scene, accum, start_iteration, base_key):
+        n_pixels = accum.shape[0]
+        # lax.iota, not jnp.arange: arange materializes a trace-time numpy
+        # constant, which this jax version holds only weakly in the compiled
+        # executable (second call then fails with a buffer-count mismatch)
+        pixel_index = jax.lax.iota(jnp.int32, n_pixels)
+
+        def body(i, acc):
+            it = start_iteration + i
+            radiance = render_sample(scene, pixel_index, it, base_key, cfg)
+            return acc + radiance
+
+        return jax.lax.fori_loop(0, n_iters, body, accum)
+
+    return chunk
+
+
+def render_chunk(
+    scene: Scene,
+    accum: jax.Array,
+    start_iteration: jax.Array,
+    base_key: jax.Array,
+    cfg: RenderConfig,
+    n_iters: int,
+):
+    """Accumulate ``n_iters`` progressive iterations into ``accum`` ([N,3]
+    radiance **sum**, the analog of ``renderCam->image`` main.cpp:134-141).
+    ``accum`` is donated: the buffer stays device-resident across chunks."""
+    return _chunk_executable(cfg, n_iters)(scene, accum, start_iteration, base_key)
+
+
+def render(
+    scene: Scene,
+    spp: int,
+    cfg: Optional[RenderConfig] = None,
+    base_key: Optional[jax.Array] = None,
+    accum: Optional[jax.Array] = None,
+    start_iteration: int = 0,
+    progress_fn=None,
+):
+    """Render ``spp`` progressive samples/pixel; returns the tone-mapped
+    image ``[H, W, 3]`` in [0,1] and the raw accumulator ``[N, 3]``.
+
+    ``accum``/``start_iteration`` allow resuming (checkpoint support,
+    SURVEY.md §5)."""
+    cfg = cfg or RenderConfig()
+    if base_key is None:
+        base_key = jax.random.PRNGKey(cfg.seed)
+    w, h = scene.camera.width, scene.camera.height
+    n_pixels = w * h
+    if accum is None:
+        accum = jnp.zeros((n_pixels, 3), jnp.float32)
+
+    done = 0
+    while done < spp:
+        chunk = min(cfg.iters_per_launch, spp - done)
+        accum = render_chunk(
+            scene,
+            accum,
+            jnp.asarray(start_iteration + done, jnp.int32),
+            base_key,
+            cfg,
+            chunk,
+        )
+        done += chunk
+        if progress_fn is not None:
+            progress_fn(done, accum)
+
+    total = start_iteration + spp
+    img = tonemap(accum.reshape(h, w, 3), total)
+    return img, accum

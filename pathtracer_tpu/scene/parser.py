@@ -1,0 +1,277 @@
+"""Parser for the reference scene DSL (text format of ``scenes/sampleScene.txt``).
+
+Independent re-implementation of the grammar accepted by the reference
+loader (``src/scene.cpp``):
+
+* ``MATERIAL <id>`` followed by 10 fixed property lines
+  ``RGB SPECEX SPECRGB REFL REFR REFRIOR SCATTER ABSCOEFF RSCTCOEFF
+  EMITTANCE`` (``src/scene.cpp:230-259``).
+* ``CAMERA`` followed by ``RES FOVY ITERATIONS FILE`` then per-frame blocks
+  ``frame <n>`` / ``EYE`` / ``VIEW`` / ``UP`` (``src/scene.cpp:141-188``).
+  We additionally accept optional ``APERTURE`` and ``FOCAL`` lines for
+  thin-lens depth of field (an elective feature in the reference README).
+* ``OBJECT <id>`` followed by a type token (``sphere`` / ``cube`` / a path
+  ending in ``.obj`` => mesh), ``material <k>``, then per-frame
+  ``TRANS`` / ``ROTAT`` / ``SCALE`` blocks (``src/scene.cpp:35-133``).
+
+Ids must be sequential starting at 0, like the reference's validation
+(``src/scene.cpp:37-39,222-224``).  Comments: anything after ``//`` on a
+line is ignored (the reference tolerates trailing comments because its
+tokenizer only reads the leading tokens it needs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from pathtracer_tpu.scene.structs import CUBE, MESH, SPHERE, SceneDescription
+
+_MATERIAL_KEYS = {
+    "RGB": ("color", 3),
+    "SPECEX": ("specular_exponent", 1),
+    "SPECRGB": ("specular_color", 3),
+    "REFL": ("has_reflective", 1),
+    "REFR": ("has_refractive", 1),
+    "REFRIOR": ("index_of_refraction", 1),
+    "SCATTER": ("has_scatter", 1),
+    "ABSCOEFF": ("absorption_coefficient", 3),
+    "RSCTCOEFF": ("reduced_scatter_coefficient", 1),
+    "EMITTANCE": ("emittance", 1),
+}
+
+
+class SceneParseError(ValueError):
+    pass
+
+
+def _tokenize(line: str) -> List[str]:
+    # strip // comments, then whitespace-split (utilities.cpp:97-103 analog)
+    if "//" in line:
+        line = line.split("//", 1)[0]
+    return line.split()
+
+
+def parse_scene_text(text: str, name: str = "<string>") -> SceneDescription:
+    lines = text.splitlines()
+    pos = 0
+
+    def peek():
+        nonlocal pos
+        while pos < len(lines):
+            toks = _tokenize(lines[pos])
+            if toks:
+                return toks
+            pos += 1
+        return None
+
+    def advance():
+        nonlocal pos
+        toks = peek()
+        if toks is None:
+            raise SceneParseError(f"{name}: unexpected end of file")
+        pos += 1
+        return toks
+
+    materials: List[dict] = []
+    camera = None
+    objects: List[dict] = []
+
+    while peek() is not None:
+        toks = advance()
+        head = toks[0].upper()
+        if head == "MATERIAL":
+            mat_id = int(toks[1])
+            if mat_id != len(materials):
+                raise SceneParseError(
+                    f"{name}: MATERIAL ids must be sequential, got {mat_id}"
+                )
+            mat: dict = {}
+            for _ in range(len(_MATERIAL_KEYS)):
+                ptoks = advance()
+                key = ptoks[0].upper()
+                if key not in _MATERIAL_KEYS:
+                    raise SceneParseError(f"{name}: unknown material key {key}")
+                field, width = _MATERIAL_KEYS[key]
+                vals = [float(v) for v in ptoks[1 : 1 + width]]
+                mat[field] = vals if width == 3 else vals[0]
+            materials.append(mat)
+        elif head == "CAMERA":
+            camera = _parse_camera(advance, peek, name)
+        elif head == "OBJECT":
+            obj_id = int(toks[1])
+            if obj_id != len(objects):
+                raise SceneParseError(
+                    f"{name}: OBJECT ids must be sequential, got {obj_id}"
+                )
+            objects.append(_parse_object(advance, peek, name))
+        else:
+            raise SceneParseError(f"{name}: unexpected token {toks[0]!r}")
+
+    if camera is None:
+        raise SceneParseError(f"{name}: no CAMERA block")
+    if not objects:
+        raise SceneParseError(f"{name}: no OBJECT blocks")
+
+    n_frames = len(camera["eye"])
+    for obj in objects:
+        if len(obj["trans"]) != n_frames:
+            # reference requires every object to define every frame
+            raise SceneParseError(
+                f"{name}: object frame count {len(obj['trans'])} != camera "
+                f"frame count {n_frames}"
+            )
+        if obj["material"] >= len(materials):
+            raise SceneParseError(f"{name}: object references missing material")
+
+    mat_soa = {
+        field: np.array(
+            [m[field] for m in materials], dtype=np.float32
+        )
+        for field, _ in _MATERIAL_KEYS.values()
+    }
+
+    return SceneDescription(
+        frames=n_frames,
+        iterations=camera["iterations"],
+        image_name=camera["file"],
+        resolution=tuple(camera["res"]),
+        fovy=camera["fovy"],
+        eye=np.array(camera["eye"], np.float32),
+        view=np.array(camera["view"], np.float32),
+        up=np.array(camera["up"], np.float32),
+        aperture=camera["aperture"],
+        focal_distance=camera["focal"],
+        geom_type=np.array([o["type"] for o in objects], np.int32),
+        geom_material=np.array([o["material"] for o in objects], np.int32),
+        translations=np.array(
+            [[o["trans"][f] for o in objects] for f in range(n_frames)], np.float32
+        ),
+        rotations=np.array(
+            [[o["rotat"][f] for o in objects] for f in range(n_frames)], np.float32
+        ),
+        scales=np.array(
+            [[o["scale"][f] for o in objects] for f in range(n_frames)], np.float32
+        ),
+        materials=mat_soa,
+    )
+
+
+def _parse_camera(advance, peek, name):
+    cam = {
+        "res": None,
+        "fovy": None,
+        "iterations": None,
+        "file": None,
+        "aperture": 0.0,
+        "focal": 0.0,
+        "eye": [],
+        "view": [],
+        "up": [],
+    }
+    # 4 required header props, in any order, plus optional APERTURE/FOCAL
+    while True:
+        toks = peek()
+        if toks is None:
+            break
+        key = toks[0].upper()
+        if key == "RES":
+            advance()
+            cam["res"] = (int(float(toks[1])), int(float(toks[2])))
+        elif key == "FOVY":
+            advance()
+            cam["fovy"] = float(toks[1])
+        elif key == "ITERATIONS":
+            advance()
+            cam["iterations"] = int(float(toks[1]))
+        elif key == "FILE":
+            advance()
+            cam["file"] = toks[1]
+        elif key == "APERTURE":
+            advance()
+            cam["aperture"] = float(toks[1])
+        elif key == "FOCAL":
+            advance()
+            cam["focal"] = float(toks[1])
+        elif key == "FRAME":
+            advance()
+            frame_idx = int(toks[1])
+            if frame_idx != len(cam["eye"]):
+                raise SceneParseError(f"{name}: camera frames must be sequential")
+            frame = {}
+            for _ in range(3):
+                ptoks = advance()
+                frame[ptoks[0].upper()] = [float(v) for v in ptoks[1:4]]
+            cam["eye"].append(frame["EYE"])
+            cam["view"].append(frame["VIEW"])
+            cam["up"].append(frame["UP"])
+        else:
+            break
+    for req in ("res", "fovy", "iterations", "file"):
+        if cam[req] is None:
+            raise SceneParseError(f"{name}: CAMERA missing {req.upper()}")
+    if not cam["eye"]:
+        raise SceneParseError(f"{name}: CAMERA has no frames")
+    return cam
+
+
+def _parse_object(advance, peek, name):
+    type_tok = advance()[0]
+    low = type_tok.lower()
+    if low == "sphere":
+        gtype = SPHERE
+    elif low == "cube":
+        gtype = CUBE
+    elif low.endswith(".obj"):
+        gtype = MESH
+    else:
+        raise SceneParseError(f"{name}: unknown object type {type_tok!r}")
+
+    mat_toks = advance()
+    if mat_toks[0].lower() != "material":
+        raise SceneParseError(f"{name}: expected 'material', got {mat_toks[0]!r}")
+    material = int(mat_toks[1])
+
+    obj = {
+        "type": gtype,
+        "material": material,
+        "mesh_path": type_tok if gtype == MESH else None,
+        "trans": [],
+        "rotat": [],
+        "scale": [],
+    }
+    while True:
+        toks = peek()
+        if toks is None or toks[0].upper() != "FRAME":
+            break
+        advance()
+        frame_idx = int(toks[1])
+        if frame_idx != len(obj["trans"]):
+            raise SceneParseError(f"{name}: object frames must be sequential")
+        frame = {}
+        for _ in range(3):
+            ptoks = advance()
+            frame[ptoks[0].upper()] = [float(v) for v in ptoks[1:4]]
+        obj["trans"].append(frame["TRANS"])
+        obj["rotat"].append(frame["ROTAT"])
+        obj["scale"].append(frame["SCALE"])
+    if not obj["trans"]:
+        raise SceneParseError(f"{name}: object has no frames")
+    return obj
+
+
+def load_scene(path: str) -> SceneDescription:
+    """Load a scene DSL file.  Uses the native C++ tokenizer/parser when the
+    compiled library is available (see ``native/``), else pure Python."""
+    with open(path, "r") as f:
+        text = f.read()
+    try:
+        from pathtracer_tpu.utils import native
+
+        if native.available():
+            return native.parse_scene_text(text, name=os.path.basename(path))
+    except ImportError:
+        pass
+    return parse_scene_text(text, name=os.path.basename(path))
