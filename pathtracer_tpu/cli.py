@@ -57,6 +57,11 @@ def build_argparser():
     p.add_argument("--checkpoint-every", type=int, default=0, help="save resume state every N spp")
     p.add_argument("--checkpoint", default=None, help="checkpoint file to resume from / write")
     p.add_argument("--all-frames", action="store_true", help="render every animation frame")
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. cpu) before first device use",
+    )
     return p
 
 
@@ -71,6 +76,8 @@ def main(argv=None):
         args.frame = int(kv["frame"])
     if not args.scene:
         parser.error("a scene file is required (scene=<file> or --scene)")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     desc = load_scene(args.scene)
     spp = args.spp if args.spp is not None else desc.iterations
@@ -116,7 +123,7 @@ def main(argv=None):
             last["t"], last["spp"] = now, done
             print(f"  {done}/{start_it + (spp - start_it)} spp  ({rate:.1f} Mpaths/s)")
 
-        img, accum = render(
+        img, accum, stats = render(
             scene,
             spp - start_it,
             cfg,
@@ -129,7 +136,9 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         out = _out_path(args, desc, frame)
         path = save_image(out, np.asarray(img))
-        print(f"  saved {path} ({dt:.1f}s, {(spp - start_it) * w * h / dt / 1e6:.1f} Mpaths/s)")
+        mrays = stats["rays_traced"] / dt / 1e6
+        mpaths = (spp - start_it) * w * h / dt / 1e6
+        print(f"  saved {path} ({dt:.1f}s, {mpaths:.1f} Mpaths/s, {mrays:.1f} Mrays/s)")
     return 0
 
 

@@ -19,7 +19,8 @@ class RenderConfig:
     russian_roulette: bool = False  # RR path termination after rr_start bounces
     rr_start: int = 3
     iters_per_launch: int = 16  # progressive iterations fused into one jit call
-    wavefront: bool = False  # wavefront+compaction engine vs masked megakernel
+    wavefront: bool = False  # wavefront+regeneration engine vs masked megakernel
+    wavefront_capacity: int = 1 << 18  # path slots per device in the wavefront
     accum_dtype: str = "float32"  # HDR sum accumulator dtype
     compute_dtype: str = "float32"
     seed: int = 0

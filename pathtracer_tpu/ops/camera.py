@@ -46,6 +46,7 @@ def generate_camera_rays(
     pixel_index: jax.Array,
     key: jax.Array,
     jitter: bool = True,
+    per_ray_keys: jax.Array | None = None,
 ) -> Rays:
     """Generate one primary ray per entry of ``pixel_index``.
 
@@ -55,17 +56,27 @@ def generate_camera_rays(
     regeneration schedules.  ``key`` drives the AA jitter and the lens
     sample; with ``jitter=False`` rays go through pixel centers of the
     reference's (w-1)/(h-1) grid (exact basecode parity).
+
+    ``per_ray_keys`` ([N, 2] uint32, one PRNG key per lane) replaces
+    ``key`` for wavefront regeneration, where each lane's randomness must
+    be a pure function of its global sample index.
     """
     w, h = camera.width, camera.height
     x = (pixel_index % w).astype(jnp.float32)
     y = (pixel_index // w).astype(jnp.float32)
 
-    k_jit, k_lens = jax.random.split(key)
+    if per_ray_keys is not None:
+        u4 = jax.vmap(lambda k: jax.random.uniform(k, (4,)))(per_ray_keys)
+        jxy = u4[:, 0:2] - 0.5
+        lens_u = u4[:, 2:4]
+    else:
+        k_jit, k_lens = jax.random.split(key)
+        jxy = jax.random.uniform(k_jit, (pixel_index.shape[0], 2)) - 0.5
+        lens_u = jax.random.uniform(k_lens, (pixel_index.shape[0], 2))
     if jitter:
         # jittered supersampling: uniform in the pixel footprint. The
         # reference grid maps x in [0, w-1] -> sx in [0, 1]; a unit jitter
         # in x is 1/(w-1) in sx, i.e. exactly one pixel pitch.
-        jxy = jax.random.uniform(k_jit, (pixel_index.shape[0], 2)) - 0.5
         x = x + jxy[:, 0]
         y = y + jxy[:, 1]
 
@@ -93,9 +104,8 @@ def generate_camera_rays(
     # Thin-lens depth of field (elective feature): sample the aperture disk,
     # keep the focal-plane point fixed. aperture == 0 reduces to pinhole.
     focal = jnp.where(camera.focal_distance > 0, camera.focal_distance, view_len)
-    u = jax.random.uniform(k_lens, (pixel_index.shape[0], 2))
-    r = jnp.sqrt(u[:, 0]) * camera.aperture
-    theta = 2.0 * jnp.pi * u[:, 1]
+    r = jnp.sqrt(lens_u[:, 0]) * camera.aperture
+    theta = 2.0 * jnp.pi * lens_u[:, 1]
     lens_offset = (
         (r * jnp.cos(theta))[:, None] * _normalize(a)[None, :]
         + (r * jnp.sin(theta))[:, None] * _normalize(b)[None, :]

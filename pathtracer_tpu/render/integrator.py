@@ -27,14 +27,10 @@ from pathtracer_tpu.scene.structs import Scene
 
 def render_sample(scene: Scene, pixel_index, iteration, base_key, cfg: RenderConfig):
     """One progressive iteration: one jittered sample per listed pixel.
-    Returns radiance ``[N, 3]``."""
+    Returns radiance ``[N, 3]`` (megakernel engine)."""
     cam_key = rng.stream_key(base_key, iteration, stream=rng.CAMERA)
     rays = generate_camera_rays(scene.camera, pixel_index, cam_key, jitter=cfg.jitter)
     path_key = rng.stream_key(base_key, iteration, stream=rng.BSDF)
-    if cfg.wavefront:
-        from pathtracer_tpu.render.wavefront import trace_paths_wavefront
-
-        return trace_paths_wavefront(scene, rays, path_key, cfg)
     from pathtracer_tpu.render.megakernel import trace_paths
 
     return trace_paths(scene, rays, path_key, cfg)
@@ -52,17 +48,26 @@ def _chunk_executable(cfg: RenderConfig, n_iters: int):
     @functools.partial(jax.jit, donate_argnames=("accum",))
     def chunk(scene: Scene, accum, start_iteration, base_key):
         n_pixels = accum.shape[0]
+        if cfg.wavefront:
+            from pathtracer_tpu.render.wavefront import render_samples_wavefront
+
+            start_sample = start_iteration * n_pixels
+            return render_samples_wavefront(
+                scene, accum, start_sample, n_iters * n_pixels, base_key, cfg
+            )  # -> (accum, rays_traced)
+
         # lax.iota, not jnp.arange: arange materializes a trace-time numpy
         # constant, which this jax version holds only weakly in the compiled
         # executable (second call then fails with a buffer-count mismatch)
         pixel_index = jax.lax.iota(jnp.int32, n_pixels)
 
-        def body(i, acc):
+        def body(i, carry):
+            acc, nrays = carry
             it = start_iteration + i
-            radiance = render_sample(scene, pixel_index, it, base_key, cfg)
-            return acc + radiance
+            radiance, n = render_sample(scene, pixel_index, it, base_key, cfg)
+            return acc + radiance, nrays + n
 
-        return jax.lax.fori_loop(0, n_iters, body, accum)
+        return jax.lax.fori_loop(0, n_iters, body, (accum, jnp.float32(0.0)))
 
     return chunk
 
@@ -77,7 +82,8 @@ def render_chunk(
 ):
     """Accumulate ``n_iters`` progressive iterations into ``accum`` ([N,3]
     radiance **sum**, the analog of ``renderCam->image`` main.cpp:134-141).
-    ``accum`` is donated: the buffer stays device-resident across chunks."""
+    ``accum`` is donated: the buffer stays device-resident across chunks.
+    Returns ``(accum, rays_traced)``."""
     return _chunk_executable(cfg, n_iters)(scene, accum, start_iteration, base_key)
 
 
@@ -90,8 +96,9 @@ def render(
     start_iteration: int = 0,
     progress_fn=None,
 ):
-    """Render ``spp`` progressive samples/pixel; returns the tone-mapped
-    image ``[H, W, 3]`` in [0,1] and the raw accumulator ``[N, 3]``.
+    """Render ``spp`` progressive samples/pixel; returns ``(image, accum,
+    stats)``: the tone-mapped image ``[H, W, 3]`` in [0,1], the raw sum
+    accumulator ``[N, 3]``, and a stats dict (``rays_traced``).
 
     ``accum``/``start_iteration`` allow resuming (checkpoint support,
     SURVEY.md §5)."""
@@ -104,9 +111,10 @@ def render(
         accum = jnp.zeros((n_pixels, 3), jnp.float32)
 
     done = 0
+    counts = []  # device scalars; summed once at the end (keeps dispatch async)
     while done < spp:
         chunk = min(cfg.iters_per_launch, spp - done)
-        accum = render_chunk(
+        accum, nrays = render_chunk(
             scene,
             accum,
             jnp.asarray(start_iteration + done, jnp.int32),
@@ -114,10 +122,12 @@ def render(
             cfg,
             chunk,
         )
+        counts.append(nrays)
         done += chunk
         if progress_fn is not None:
             progress_fn(done, accum)
 
     total = start_iteration + spp
     img = tonemap(accum.reshape(h, w, 3), total)
-    return img, accum
+    stats = {"rays_traced": float(sum(float(c) for c in counts)), "spp": spp}
+    return img, accum, stats

@@ -24,12 +24,13 @@ from pathtracer_tpu.scene.structs import Rays, Scene
 
 def trace_paths(
     scene: Scene, rays: Rays, key: jax.Array, cfg: RenderConfig
-) -> jax.Array:
+):
     """Trace a wavefront of primary rays to completion.
 
-    Returns per-ray radiance ``[N, 3]`` — one sample of the path-traced
-    estimator per input ray (the "full global illumination + emittance"
-    requirement, reference README.md:47-48).
+    Returns ``(radiance [N, 3], rays_traced [] float32)`` — one sample of
+    the path-traced estimator per input ray (the "full global illumination
+    + emittance" requirement, reference README.md:47-48) plus the number
+    of ray-intersection queries actually issued (for Mrays/s metrics).
     """
     n = rays.count
     radiance0 = jnp.zeros((n, 3), jnp.float32)
@@ -39,7 +40,8 @@ def trace_paths(
 
     def bounce(carry, inp):
         depth, bkey = inp
-        rays, throughput, alive, radiance = carry
+        rays, throughput, alive, radiance, nrays = carry
+        nrays = nrays + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_scene(rays, scene.geoms)
         mat = gather_materials(scene.materials, hit.material_id)
         emissive = mat.emittance > 0.0
@@ -74,11 +76,11 @@ def trace_paths(
                 new_alive[:, None], scatter.direction, rays.direction
             ),
         )
-        return (rays, throughput, new_alive, radiance), None
+        return (rays, throughput, new_alive, radiance, nrays), None
 
-    (_, _, _, radiance), _ = jax.lax.scan(
+    (_, _, _, radiance, nrays), _ = jax.lax.scan(
         bounce,
-        (rays, throughput0, alive0, radiance0),
-        (jnp.arange(cfg.max_depth), bounce_keys),
+        (rays, throughput0, alive0, radiance0, jnp.float32(0.0)),
+        (jax.lax.iota(jnp.int32, cfg.max_depth), bounce_keys),
     )
-    return radiance
+    return radiance, nrays
