@@ -16,6 +16,8 @@ import dataclasses
 class RenderConfig:
     max_depth: int = 8  # bounces per path (reference basecode: 1)
     jitter: bool = True  # supersampled AA (README.md:49)
+    nee: bool = True  # next-event estimation (direct light sampling);
+    # False = pure BSDF+emittance estimator (reference-assignment parity)
     russian_roulette: bool = False  # RR path termination after rr_start bounces
     rr_start: int = 3
     iters_per_launch: int = 16  # progressive iterations fused into one jit call

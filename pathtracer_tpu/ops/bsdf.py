@@ -46,13 +46,32 @@ class MaterialLookup:
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
+    """Per-ray material fetch as a one-hot contraction ``[N,M] @ [M,10]``
+    instead of row gathers (same rationale as intersect.select_rows: one
+    tiny dense matmul beats N serialized HBM gathers on TPU, and material
+    gradients flow to the table rows)."""
+    table = jnp.concatenate(
+        [
+            materials.color,  # 0:3
+            materials.specular_color,  # 3:6
+            materials.has_reflective[:, None],  # 6
+            materials.has_refractive[:, None],  # 7
+            materials.index_of_refraction[:, None],  # 8
+            materials.emittance[:, None],  # 9
+        ],
+        axis=-1,
+    )
+    onehot = jax.nn.one_hot(
+        jax.lax.stop_gradient(material_id), materials.count, dtype=table.dtype
+    )
+    rows = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
     return MaterialLookup(
-        color=materials.color[material_id],
-        specular_color=materials.specular_color[material_id],
-        has_reflective=materials.has_reflective[material_id],
-        has_refractive=materials.has_refractive[material_id],
-        ior=materials.index_of_refraction[material_id],
-        emittance=materials.emittance[material_id],
+        color=rows[:, 0:3],
+        specular_color=rows[:, 3:6],
+        has_reflective=rows[:, 6],
+        has_refractive=rows[:, 7],
+        ior=rows[:, 8],
+        emittance=rows[:, 9],
     )
 
 
@@ -112,7 +131,9 @@ def refract(incident, normal, eta):
     cos_i = -jnp.sum(incident * normal, axis=-1)
     sin2_t = (eta ** 2) * jnp.clip(1.0 - cos_i ** 2, 0.0)
     valid = sin2_t <= 1.0
-    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0))
+    # clamp away from 0: sqrt'(0) = inf would NaN-poison gradients of
+    # lanes that a downstream `where` discards (TIR boundary)
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 1e-12))
     d = (
         eta[..., None] * incident
         + (eta * cos_i - cos_t)[..., None] * normal
@@ -127,7 +148,7 @@ def fresnel_dielectric(cos_i, ior_i, ior_t):
     eta = ior_i / ior_t
     sin2_t = (eta ** 2) * (1.0 - cos_i ** 2)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 1e-12))
     r_par = (ior_t * cos_i - ior_i * cos_t) / (ior_t * cos_i + ior_i * cos_t)
     r_perp = (ior_i * cos_i - ior_t * cos_t) / (ior_i * cos_i + ior_t * cos_t)
     r = 0.5 * (r_par ** 2 + r_perp ** 2)

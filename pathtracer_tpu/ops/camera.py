@@ -38,7 +38,7 @@ def derive_fov(fovy_deg: float, width: int, height: int):
 
 
 def _normalize(v, axis=-1):
-    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True).clip(1e-12)
 
 
 def generate_camera_rays(

@@ -64,7 +64,9 @@ def sphere_t(o_obj: jax.Array, d_obj: jax.Array, t_min=T_MIN) -> jax.Array:
     c = jnp.sum(o_obj * o_obj, axis=-1) - 0.25
     disc = b * b - a * c
     valid = disc > 0
-    sq = jnp.sqrt(jnp.where(valid, disc, 0.0))
+    # sqrt argument forced to 1 on invalid lanes: sqrt(0) has an infinite
+    # derivative and 0-cotangent * inf = NaN would leak through the where
+    sq = jnp.sqrt(jnp.where(valid, disc, 1.0))
     inv_a = _safe_div(1.0, a)
     t0 = (-b - sq) * inv_a
     t1 = (-b + sq) * inv_a
@@ -125,21 +127,44 @@ def intersect_t_sweep(rays: Rays, geoms: Geoms, t_min=T_MIN) -> jax.Array:
     return t
 
 
+def select_rows(onehot: jax.Array, table: jax.Array) -> jax.Array:
+    """``table[argmax(onehot)]`` as a one-hot contraction ``[N,G] @ [G,K]``.
+
+    Replaces per-ray row gathers: on TPU a gather costs serialized HBM
+    transactions per element, while this is one small dense matmul the MXU
+    eats for free (G is tiny).  fp32 HIGHEST precision — exactness matters
+    (transform rows).  Also gives clean gradients to every table row,
+    weighted by the (stop-gradient-free) one-hot."""
+    flat = table.reshape(table.shape[0], -1)
+    out = jnp.matmul(onehot, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((onehot.shape[0],) + table.shape[1:])
+
+
 def intersect_scene(rays: Rays, geoms: Geoms, t_min=T_MIN) -> Hit:
     """Nearest-hit query for a wavefront of rays against all geoms."""
     t_all = intersect_t_sweep(rays, geoms, t_min)  # [N, G]
     geom_id = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [N]
-    t = jnp.take_along_axis(t_all, geom_id[:, None], axis=-1)[:, 0]
+    t = jnp.min(t_all, axis=-1)
     hit = t < BIG
 
-    # recompute the winning intersection's local frame (gather per ray)
-    inv = geoms.inv_transform[geom_id]  # [N, 4, 4]
-    gtype = geoms.type[geom_id]
+    # recompute the winning intersection's local frame; the winner's rows
+    # are selected by one-hot contraction, not gather (see select_rows).
+    # Indices are discrete => stop_gradient (SURVEY.md §7: compaction /
+    # nearest-hit selection must be grad-transparent gathers).
+    onehot = jax.nn.one_hot(
+        jax.lax.stop_gradient(geom_id), geoms.count, dtype=t_all.dtype
+    )
+    inv = select_rows(onehot, geoms.inv_transform)  # [N, 4, 4]
+    is_sphere = onehot @ (geoms.type == SPHERE).astype(t_all.dtype)
+    material_id = (
+        onehot @ geoms.material_id.astype(t_all.dtype)
+    ).astype(jnp.int32)
+
     t_safe = jnp.where(hit, t, 1.0)
     p_world = rays.origin + t_safe[:, None] * rays.direction
     p_obj = transform_point(inv, p_world)
     n_obj = jnp.where(
-        (gtype == SPHERE)[:, None],
+        (is_sphere > 0.5)[:, None],
         sphere_normal_obj(p_obj),
         cube_normal_obj(p_obj),
     )
@@ -149,7 +174,7 @@ def intersect_scene(rays: Rays, geoms: Geoms, t_min=T_MIN) -> Hit:
         t=t,
         hit=hit,
         geom_id=geom_id,
-        material_id=geoms.material_id[geom_id],
+        material_id=material_id,
         position=p_world,
         normal=n_world,
     )

@@ -125,4 +125,4 @@ def transform_normal(inv_m: jax.Array, n_obj: jax.Array) -> jax.Array:
     uniform scales; we use the mathematically correct form, which agrees
     with the reference on its own scenes.)"""
     n = mat3_apply_t(inv_m, n_obj)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)

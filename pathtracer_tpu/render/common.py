@@ -1,0 +1,129 @@
+"""The shared per-bounce shading step used by both engines.
+
+One bounce = intersect → emittance accounting → next-event estimation
+(direct light, SURVEY.md §2 component 7) → BSDF sampling for the
+continuation ray.  The megakernel (lax.scan, differentiable) and the
+wavefront engine (while_loop + regeneration, forward-perf) wrap this with
+their own lane bookkeeping; the physics lives here exactly once.
+
+Estimator (cfg.nee=True): classic NEE split —
+
+* diffuse hits sample one point on an area light (area-weighted) and add
+  ``throughput * albedo/pi * Le * cos_x cos_y / r^2 / pdf_A * V(x,y)``;
+  their *BSDF-found* light hits are then NOT counted (no double count).
+* specular lanes (mirror / dielectric) can't do NEE (their BSDF is a
+  delta), so their light hits ARE counted, as are primary-ray hits.
+
+cfg.nee=False falls back to the pure BSDF+emittance estimator — the
+completed-assignment semantics of the reference (README.md:47-50).
+
+RNG: ``bounce_uniforms`` — 8 uniforms per (sample, depth): 3 BSDF lobe/
+direction, 1 russian roulette, 4 light sampling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.ops.bsdf import RAY_BIAS, gather_materials, sample_bsdf
+from pathtracer_tpu.ops.intersect import intersect_scene
+from pathtracer_tpu.ops.lights import sample_lights
+from pathtracer_tpu.scene.structs import Rays, Scene, pytree_dataclass
+
+
+def bounce_uniforms(base_key, sample_idx, depth):
+    """[N, 8] uniforms, a pure function of (base_key, sample, depth) —
+    the RNG contract that makes engines and shardings agree exactly."""
+    return jax.vmap(
+        lambda s, d: jax.random.uniform(
+            jax.random.fold_in(jax.random.fold_in(base_key, s), d + 1), (8,)
+        )
+    )(sample_idx, jnp.broadcast_to(depth, sample_idx.shape))
+
+
+@pytree_dataclass
+class BounceResult:
+    contrib: jax.Array  # [N, 3] radiance contribution this bounce
+    next_origin: jax.Array  # [N, 3]
+    next_direction: jax.Array  # [N, 3]
+    throughput_mult: jax.Array  # [N, 3]
+    terminate: jax.Array  # [N] bool: path ends here (miss/light hit)
+    was_specular: jax.Array  # [N] bool: this bounce's event was specular
+    rr_uniform: jax.Array  # [N] uniform reserved for russian roulette
+
+
+def shade_bounce(
+    scene: Scene,
+    rays: Rays,
+    throughput: jax.Array,
+    sample_idx: jax.Array,
+    depth,
+    prev_specular: jax.Array,
+    base_key,
+    cfg: RenderConfig,
+) -> BounceResult:
+    """One physics step for a wavefront of rays (mask-free: callers gate
+    with their own alive masks)."""
+    hit = intersect_scene(rays, scene.geoms)
+    mat = gather_materials(scene.materials, hit.material_id)
+    emissive = mat.emittance > 0.0
+
+    u = bounce_uniforms(base_key, sample_idx, depth)
+
+    # ---- emittance on BSDF hit.  With NEE, count only where no NEE could
+    # have sampled this light: primary rays and post-specular bounces.
+    if cfg.nee:
+        count_emit = (jnp.asarray(depth) == 0) | prev_specular
+        count_emit = jnp.broadcast_to(count_emit, emissive.shape)
+    else:
+        count_emit = jnp.ones_like(emissive)
+    emitted = throughput * mat.color * mat.emittance[:, None]
+    contrib = jnp.where((hit.hit & emissive & count_emit)[:, None], emitted, 0.0)
+
+    # ---- BSDF continuation sample
+    scatter = sample_bsdf(mat, hit.position, hit.normal, rays.direction, u[:, 0:3])
+
+    # ---- next-event estimation at diffuse hits
+    if cfg.nee:
+        ls = sample_lights(scene.geoms, scene.materials, u[:, 4:8])
+        n_shade = hit.normal * jnp.sign(
+            -jnp.sum(hit.normal * rays.direction, axis=-1, keepdims=True)
+        )
+        x = hit.position + RAY_BIAS * n_shade
+        to_light = ls.position - x
+        dist2 = jnp.sum(to_light * to_light, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        wi = to_light / dist[:, None]
+        cos_x = jnp.sum(n_shade * wi, axis=-1)
+        cos_y = jnp.sum(ls.normal * (-wi), axis=-1)
+        diffuse_lane = hit.hit & (~emissive) & (~scatter.is_specular)
+        candidate = diffuse_lane & ls.valid & (cos_x > 0) & (cos_y > 0)
+
+        # shadow ray (the second intersect sweep of the bounce)
+        shadow = Rays(origin=x, direction=wi)
+        occ = intersect_scene(shadow, scene.geoms)
+        visible = (~occ.hit) | (occ.t >= dist - 4.0 * RAY_BIAS)
+
+        g = cos_x * cos_y / jnp.maximum(dist2, 1e-12)
+        nee = (
+            throughput
+            * (mat.color / jnp.pi)
+            * ls.emitted
+            * (g / jnp.maximum(ls.pdf_area, 1e-20))[:, None]
+        )
+        contrib = contrib + jnp.where(
+            (candidate & visible)[:, None], nee, 0.0
+        )
+
+    terminate = (~hit.hit) | emissive
+    return BounceResult(
+        contrib=contrib,
+        next_origin=scatter.origin,
+        next_direction=scatter.direction,
+        throughput_mult=scatter.throughput_mult,
+        terminate=terminate,
+        was_specular=scatter.is_specular,
+        rr_uniform=u[:, 3],
+    )

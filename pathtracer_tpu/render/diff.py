@@ -1,0 +1,247 @@
+"""Differentiable rendering (inverse graphics) — no reference analog.
+
+The reference is forward-only; this module is the capability named in the
+north star: gradients of a pixel loss w.r.t. material colors/emittance,
+object TRS transforms, and camera parameters, through the full bounce
+loop.
+
+Design (SURVEY.md §3.5 / §7 hard parts):
+
+* **Engine**: the fixed-depth ``lax.scan`` megakernel — reverse-mode
+  differentiable; the ``while_loop`` wavefront engine is forward-only.
+* **Parameters**: a float-only pytree (:class:`SceneParams`) split from
+  the static integer structure (:class:`SceneStatic`).  Transforms are
+  rebuilt from TRS inside the differentiated function, so gradients flow
+  to translation/rotation/scale directly (not to raw matrices).
+* **Detached sampling**: discrete decisions (lobe choice, RR) are taken
+  on ``stop_gradient`` values inside the BSDF; everything continuous —
+  throughput, Fresnel weights, emittance, hit positions/normals via the
+  intersection ``t`` — carries pathwise gradients.  The estimator is
+  a.e.-smooth in params for a fixed RNG key, so ``jax.grad`` matches
+  central finite differences away from visibility discontinuities
+  (verified in tests/test_grad.py).
+* **Memory**: one ``jax.checkpoint`` per progressive iteration: residuals
+  are O(pixels · depth) for one iteration, not O(pixels · depth · spp).
+* **Multi-device**: ``loss_and_grad_sharded`` shard_maps the same step
+  over the pixel mesh and ``psum``s the parameter gradients; XLA overlaps
+  the all-reduce with backward compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.ops.transforms import build_transform
+from pathtracer_tpu.scene.structs import (
+    Camera,
+    Geoms,
+    Materials,
+    Scene,
+    pytree_dataclass,
+)
+
+
+@pytree_dataclass
+class SceneParams:
+    """Every differentiable leaf of a scene."""
+
+    materials: Materials
+    translations: jax.Array  # [G, 3]
+    rotations: jax.Array  # [G, 3] degrees
+    scales: jax.Array  # [G, 3]
+    cam_position: jax.Array  # [3]
+    cam_view: jax.Array  # [3]
+    cam_up: jax.Array  # [3]
+    cam_fov: jax.Array  # [2]
+    cam_aperture: jax.Array  # []
+    cam_focal: jax.Array  # []
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """The non-differentiable scene structure (static under jit)."""
+
+    geom_type: tuple  # ints
+    geom_material: tuple  # ints
+    resolution: tuple
+
+
+def params_from_description(desc, frame: int = 0):
+    """SceneDescription -> (SceneParams, SceneStatic)."""
+    from pathtracer_tpu.ops.camera import derive_fov
+
+    mats = Materials(
+        **{k: jnp.asarray(v, jnp.float32) for k, v in desc.materials.items()}
+    )
+    params = SceneParams(
+        materials=mats,
+        translations=jnp.asarray(desc.translations[frame], jnp.float32),
+        rotations=jnp.asarray(desc.rotations[frame], jnp.float32),
+        scales=jnp.asarray(desc.scales[frame], jnp.float32),
+        cam_position=jnp.asarray(desc.eye[frame], jnp.float32),
+        cam_view=jnp.asarray(desc.view[frame], jnp.float32),
+        cam_up=jnp.asarray(desc.up[frame], jnp.float32),
+        cam_fov=jnp.asarray(
+            derive_fov(desc.fovy, desc.resolution[0], desc.resolution[1]), jnp.float32
+        ),
+        cam_aperture=jnp.asarray(desc.aperture, jnp.float32),
+        cam_focal=jnp.asarray(desc.focal_distance, jnp.float32),
+    )
+    static = SceneStatic(
+        geom_type=tuple(int(t) for t in desc.geom_type),
+        geom_material=tuple(int(m) for m in desc.geom_material),
+        resolution=tuple(desc.resolution),
+    )
+    return params, static
+
+
+def build_scene(params: SceneParams, static: SceneStatic) -> Scene:
+    """Differentiable scene assembly: TRS -> matrices inside the graph."""
+    t, inv = build_transform(params.translations, params.rotations, params.scales)
+    geoms = Geoms(
+        type=jnp.asarray(static.geom_type, jnp.int32),
+        material_id=jnp.asarray(static.geom_material, jnp.int32),
+        transform=t,
+        inv_transform=inv,
+    )
+    cam = Camera(
+        resolution=static.resolution,
+        position=params.cam_position,
+        view=params.cam_view,
+        up=params.cam_up,
+        fov=params.cam_fov,
+        aperture=params.cam_aperture,
+        focal_distance=params.cam_focal,
+    )
+    return Scene(geoms=geoms, materials=params.materials, camera=cam)
+
+
+def render_linear(
+    params: SceneParams,
+    static: SceneStatic,
+    spp: int,
+    base_key: jax.Array,
+    cfg: RenderConfig,
+    pixel_index: jax.Array | None = None,
+    n_global_pixels: int | None = None,
+) -> jax.Array:
+    """Differentiable *linear* (pre-tonemap) image estimate ``[N, 3]`` —
+    the mean of ``spp`` progressive samples.  Linear radiance, because the
+    gamma curve has unbounded gradient at 0 (use :func:`tonemap` outside
+    the loss if display-space loss is really wanted)."""
+    from pathtracer_tpu.render.integrator import render_sample
+
+    scene = build_scene(params, static)
+    if pixel_index is None:
+        w, h = static.resolution
+        pixel_index = jax.lax.iota(jnp.int32, w * h)
+
+    @jax.checkpoint
+    def one_iter(carry, it):
+        radiance, _ = render_sample(
+            scene, pixel_index, it, base_key, cfg, n_global_pixels=n_global_pixels
+        )
+        return carry + radiance, None
+
+    total, _ = jax.lax.scan(
+        one_iter,
+        jnp.zeros((pixel_index.shape[0], 3), jnp.float32),
+        jax.lax.iota(jnp.int32, spp),
+    )
+    return total / spp
+
+
+def l2_loss(
+    params: SceneParams,
+    static: SceneStatic,
+    target: jax.Array,
+    spp: int,
+    base_key: jax.Array,
+    cfg: RenderConfig,
+    pixel_index=None,
+    n_global_pixels=None,
+):
+    """Mean squared error against a target linear image ``[N, 3]``."""
+    img = render_linear(
+        params, static, spp, base_key, cfg, pixel_index, n_global_pixels
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _grad_executable(static: SceneStatic, spp: int, cfg: RenderConfig):
+    @jax.jit
+    def step(params, target, base_key):
+        return jax.value_and_grad(l2_loss)(params, static, target, spp, base_key, cfg)
+
+    return step
+
+
+def loss_and_grad(params, static, target, spp, base_key, cfg):
+    """Compiled ``(loss, dloss/dparams)`` on one device."""
+    return _grad_executable(static, spp, cfg)(params, target, base_key)
+
+
+@functools.lru_cache(maxsize=None)
+def _grad_executable_sharded(static: SceneStatic, spp: int, cfg: RenderConfig, mesh_key):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pathtracer_tpu.parallel.mesh import AXIS
+    from pathtracer_tpu.parallel.sharded import _MESHES
+
+    mesh = _MESHES[mesh_key]
+    n_dev = mesh.devices.size
+
+    def per_device(params, target_local, base_key):
+        # device d owns strided pixels d + D*j (same layout as sharded.py)
+        d = jax.lax.axis_index(AXIS)
+        n_local = target_local.shape[0]
+        n_global = n_local * n_dev
+        pixel_index = d + n_dev * jax.lax.iota(jnp.int32, n_local)
+
+        def local_loss(p):
+            # mean over GLOBAL pixels = psum of local sums / global count
+            img = render_linear(
+                p, static, spp, base_key, cfg, pixel_index, n_global
+            )
+            return jnp.sum((img - target_local) ** 2) / (n_global * 3)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # gradient all-reduce overlapped with backward by XLA (SURVEY.md §2)
+        return jax.lax.psum(loss, AXIS), jax.lax.psum(grads, AXIS)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def loss_and_grad_sharded(params, static, target_sharded, spp, base_key, cfg, mesh):
+    """Multi-device ``(loss, grads)``: pixels sharded (device-major strided
+    layout, see parallel/sharded.py), parameter grads psum-reduced.
+
+    ``target_sharded``: ``[N, 3]`` with row ``d*(N/D)+j`` = global pixel
+    ``d + D*j`` (use :func:`scatter_target`)."""
+    from pathtracer_tpu.parallel.sharded import _mesh_key
+
+    fn = _grad_executable_sharded(static, spp, cfg, _mesh_key(mesh))
+    return fn(params, target_sharded, base_key)
+
+
+def scatter_target(target_flat: jax.Array, mesh) -> jax.Array:
+    """Pixel-ordered target [N, 3] -> device-major strided layout."""
+    n_dev = mesh.devices.size
+    n = target_flat.shape[0]
+    return (
+        target_flat.reshape(n // n_dev, n_dev, 3).transpose(1, 0, 2).reshape(n, 3)
+    )

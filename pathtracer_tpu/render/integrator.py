@@ -25,15 +25,29 @@ from pathtracer_tpu.ops.tonemap import tonemap
 from pathtracer_tpu.scene.structs import Scene
 
 
-def render_sample(scene: Scene, pixel_index, iteration, base_key, cfg: RenderConfig):
+def render_sample(
+    scene: Scene,
+    pixel_index,
+    iteration,
+    base_key,
+    cfg: RenderConfig,
+    n_global_pixels: int | None = None,
+):
     """One progressive iteration: one jittered sample per listed pixel.
-    Returns radiance ``[N, 3]`` (megakernel engine)."""
-    cam_key = rng.stream_key(base_key, iteration, stream=rng.CAMERA)
-    rays = generate_camera_rays(scene.camera, pixel_index, cam_key, jitter=cfg.jitter)
-    path_key = rng.stream_key(base_key, iteration, stream=rng.BSDF)
+    Returns ``(radiance [N, 3], rays_traced)`` (megakernel engine).
+
+    All randomness is keyed by the global sample index ``iteration *
+    n_global_pixels + pixel`` (the RNG/sharding contract shared with the
+    wavefront engine)."""
+    n_global = n_global_pixels if n_global_pixels is not None else pixel_index.shape[0]
+    sample_idx = iteration * n_global + pixel_index
+    keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(sample_idx)
+    rays = generate_camera_rays(
+        scene.camera, pixel_index, None, jitter=cfg.jitter, per_ray_keys=keys
+    )
     from pathtracer_tpu.render.megakernel import trace_paths
 
-    return trace_paths(scene, rays, path_key, cfg)
+    return trace_paths(scene, rays, sample_idx, base_key, cfg)
 
 
 @functools.lru_cache(maxsize=None)

@@ -20,6 +20,14 @@ roulette): each lane carries its own radiance locally and does a single
 scatter-add into the pixel accumulator at termination, so bounces do no
 accumulator traffic.
 
+RNG/sharding contract: all randomness is keyed by the **global sample
+index** ``iteration * n_global_pixels + global_pixel`` (same contract as
+the megakernel, see megakernel.bounce_uniforms).  The work queue is local
+(``q -> (iteration, local_pixel)``), and ``pixel_offset``/``pixel_stride``
+map local pixels to global ones, so a strided multi-device render
+partitions the exact single-device sample set — results are equal across
+device counts and wavefront capacities.
+
 Shapes are fully static: `lax.while_loop` over bounce super-steps runs
 until the sample queue is drained and every lane is dead.  (This engine is
 forward-only; the differentiable path uses the fixed-depth ``lax.scan``
@@ -32,57 +40,57 @@ import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.config import RenderConfig
-from pathtracer_tpu.ops.bsdf import gather_materials, sample_bsdf
 from pathtracer_tpu.ops.camera import generate_camera_rays
-from pathtracer_tpu.ops.intersect import intersect_scene
+from pathtracer_tpu.render.common import shade_bounce
 from pathtracer_tpu.scene.structs import Rays, Scene
-
-
-def _spawn_rays(scene, sample_idx, n_pixels, base_key, cfg):
-    """Camera rays for global sample indices ``sample_idx`` ([C] int32).
-
-    sample ``s`` = iteration ``s // n_pixels`` of pixel ``s % n_pixels``;
-    each lane derives an independent key by folding its sample index, so
-    regeneration order never changes the sample sequence (exact resume +
-    device-count-invariant images)."""
-    pixel = (sample_idx % n_pixels).astype(jnp.int32)
-    keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(sample_idx)
-    # per-lane jitter/lens draws: vmap over lane keys
-    rays = generate_camera_rays(
-        scene.camera, pixel, None, jitter=cfg.jitter, per_ray_keys=keys
-    )
-    return rays, pixel
 
 
 def render_samples_wavefront(
     scene: Scene,
     accum: jax.Array,
-    start_sample: jax.Array,
+    start_queue: jax.Array,
     n_samples: int,
     base_key: jax.Array,
     cfg: RenderConfig,
+    pixel_offset=0,
+    pixel_stride: int = 1,
+    n_global_pixels: int | None = None,
 ):
-    """Trace ``n_samples`` camera samples (global indices ``start_sample ..
-    start_sample + n_samples``) into ``accum`` ([n_pixels, 3] radiance sum).
+    """Trace ``n_samples`` camera samples (local queue indices
+    ``start_queue .. start_queue + n_samples``) into ``accum``
+    ([n_local_pixels, 3] radiance sum).  Returns ``(accum, rays_traced)``.
     """
-    n_pixels = accum.shape[0]
+    n_local = accum.shape[0]
+    n_global = n_global_pixels if n_global_pixels is not None else n_local
     capacity = min(cfg.wavefront_capacity, n_samples)
-    end_sample = start_sample + n_samples
+    end_queue = start_queue + n_samples
 
-    # initial fill: first `capacity` samples
-    first_idx = start_sample + jax.lax.iota(jnp.int32, capacity)
-    rays, pixel = _spawn_rays(scene, first_idx, n_pixels, base_key, cfg)
+    def spawn(queue_idx):
+        """queue index -> (rays, local_pixel, global_sample)."""
+        iteration = queue_idx // n_local
+        local_pix = (queue_idx % n_local).astype(jnp.int32)
+        global_pix = pixel_offset + pixel_stride * local_pix
+        global_sample = iteration * n_global + global_pix
+        keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(global_sample)
+        rays = generate_camera_rays(
+            scene.camera, global_pix, None, jitter=cfg.jitter, per_ray_keys=keys
+        )
+        return rays, local_pix, global_sample
+
+    first_q = start_queue + jax.lax.iota(jnp.int32, capacity)
+    rays0, pixel0, sample0 = spawn(first_q)
 
     state = dict(
-        origin=rays.origin,
-        direction=rays.direction,
+        origin=rays0.origin,
+        direction=rays0.direction,
         throughput=jnp.ones((capacity, 3), jnp.float32),
         radiance=jnp.zeros((capacity, 3), jnp.float32),
-        pixel=pixel,
-        sample=first_idx,
+        pixel=pixel0,
+        sample=sample0,
         depth=jnp.zeros((capacity,), jnp.int32),
-        alive=first_idx < end_sample,
-        next_sample=start_sample + capacity,
+        prev_spec=jnp.zeros((capacity,), bool),
+        alive=first_q < end_queue,
+        next_queue=start_queue + capacity,
         accum=accum,
         rays=jnp.float32(0.0),
     )
@@ -92,36 +100,29 @@ def render_samples_wavefront(
 
     def step(st):
         rays = Rays(origin=st["origin"], direction=st["direction"])
-        nrays = st["rays"] + jnp.sum(st["alive"].astype(jnp.float32))
-        hit = intersect_scene(rays, scene.geoms)
-        mat = gather_materials(scene.materials, hit.material_id)
-        emissive = mat.emittance > 0.0
+        nrays = st["rays"] + jnp.sum(st["alive"].astype(jnp.float32)) * (2.0 if cfg.nee else 1.0)  # +shadow ray
         alive = st["alive"]
-
-        # light hit => contribute and terminate; miss => terminate with 0
-        emitted = st["throughput"] * mat.color * mat.emittance[:, None]
-        radiance = st["radiance"] + jnp.where(
-            (alive & hit.hit & emissive)[:, None], emitted, 0.0
+        res = shade_bounce(
+            scene,
+            rays,
+            st["throughput"],
+            st["sample"],
+            st["depth"],
+            st["prev_spec"],
+            base_key,
+            cfg,
         )
+        radiance = st["radiance"] + jnp.where(alive[:, None], res.contrib, 0.0)
 
-        # per-lane BSDF randomness keyed by (sample, depth): regeneration
-        # order can't perturb the sequence
-        u = jax.vmap(
-            lambda s, d: jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(base_key, s), d + 1), (4,)
-            )
-        )(st["sample"], st["depth"])
-        scatter = sample_bsdf(mat, hit.position, hit.normal, rays.direction, u[:, :3])
-
-        throughput = jnp.where(
-            alive[:, None], st["throughput"] * scatter.throughput_mult, st["throughput"]
-        )
         depth = st["depth"] + 1
-        survive = alive & hit.hit & (~emissive) & (depth < cfg.max_depth)
+        survive = alive & (~res.terminate) & (depth < cfg.max_depth)
+        throughput = jnp.where(
+            survive[:, None], st["throughput"] * res.throughput_mult, st["throughput"]
+        )
         if cfg.russian_roulette:
             p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
             rr_on = survive & (depth >= cfg.rr_start)
-            keep = u[:, 3] < p
+            keep = res.rr_uniform < p
             throughput = jnp.where(rr_on[:, None], throughput / p[:, None], throughput)
             survive = jnp.where(rr_on, survive & keep, survive)
 
@@ -131,12 +132,12 @@ def render_samples_wavefront(
             jnp.where(dead[:, None], radiance, 0.0), mode="drop"
         )
 
-        # rank of each dead lane among dead lanes -> next sample index
+        # rank of each dead lane among dead lanes -> next queue index
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-        new_sample = st["next_sample"] + rank
-        can_spawn = dead & (new_sample < end_sample)
-        spawn_idx = jnp.where(can_spawn, new_sample, 0)
-        new_rays, new_pixel = _spawn_rays(scene, spawn_idx, n_pixels, base_key, cfg)
+        new_q = st["next_queue"] + rank
+        can_spawn = dead & (new_q < end_queue)
+        spawn_q = jnp.where(can_spawn, new_q, 0)
+        new_rays, new_pixel, new_sample = spawn(spawn_q)
         n_spawned = jnp.sum(dead.astype(jnp.int32))  # queue advances past all dead
 
         def lane_select(fresh, cont):
@@ -144,15 +145,16 @@ def render_samples_wavefront(
             return jnp.where(m, fresh, cont)
 
         return dict(
-            origin=lane_select(new_rays.origin, scatter.origin),
-            direction=lane_select(new_rays.direction, scatter.direction),
+            origin=lane_select(new_rays.origin, res.next_origin),
+            direction=lane_select(new_rays.direction, res.next_direction),
             throughput=lane_select(jnp.ones_like(throughput), throughput),
             radiance=lane_select(jnp.zeros_like(radiance), radiance),
             pixel=lane_select(new_pixel, st["pixel"]),
-            sample=lane_select(spawn_idx, st["sample"]),
+            sample=lane_select(new_sample, st["sample"]),
             depth=lane_select(jnp.zeros_like(depth), depth),
+            prev_spec=lane_select(jnp.zeros_like(res.was_specular), res.was_specular),
             alive=can_spawn | survive,
-            next_sample=st["next_sample"] + n_spawned,
+            next_queue=st["next_queue"] + n_spawned,
             accum=accum,
             rays=nrays,
         )

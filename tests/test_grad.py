@@ -1,0 +1,259 @@
+"""Gradient correctness (BASELINE config 4): jax.grad through the full
+bounce loop vs central finite differences, for material colors/emittance,
+object transforms, and camera parameters.
+
+The estimator is deterministic for a fixed base key and a.e.-smooth in
+the parameters (detached sampling), so FD and AD agree away from
+visibility discontinuities; tolerances are loose-ish because FD itself is
+noisy where a few samples cross silhouettes.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.render.diff import (
+    build_scene,
+    l2_loss,
+    loss_and_grad,
+    params_from_description,
+    render_linear,
+)
+
+CFG = RenderConfig(max_depth=4, jitter=True, wavefront=False)
+SPP = 4
+KEY = jax.random.PRNGKey(7)
+
+
+@pytest.fixture(scope="module")
+def setup(cornell):
+    desc = dataclasses.replace(cornell, resolution=(24, 24))
+    params, static = params_from_description(desc, 0)
+    # target = render at the true params (so loss=0, but grads of loss at a
+    # PERTURBED point are informative); perturb the start point instead
+    target = render_linear(params, static, SPP, KEY, CFG)
+    return params, static, target
+
+
+def _perturb(params):
+    # nudge a few scalars so the loss landscape is non-degenerate
+    mats = params.materials
+    mats = dataclasses.replace(
+        mats,
+        color=mats.color.at[1, 0].add(0.1),
+        emittance=mats.emittance.at[5].add(1.0),
+    )
+    return dataclasses.replace(
+        params,
+        materials=mats,
+        translations=params.translations.at[7, 2].add(0.3),
+        cam_position=params.cam_position.at[0].add(0.05),
+    )
+
+
+def _fd(loss_fn, params, get, set_, h):
+    lp = loss_fn(set_(params, get(params) + h))
+    lm = loss_fn(set_(params, get(params) - h))
+    return (lp - lm) / (2.0 * h)
+
+
+def _check(name, ad, fd, rtol=0.12, atol=None):
+    ad, fd = float(ad), float(fd)
+    scale = max(abs(ad), abs(fd))
+    assert scale > 1e-7, f"{name}: degenerate gradient ({ad} vs {fd})"
+    tol = atol if atol is not None else rtol * scale
+    assert abs(ad - fd) <= tol, f"{name}: AD {ad} vs FD {fd}"
+
+
+def test_grads_match_finite_differences(setup):
+    params0, static, target = setup
+    params = _perturb(params0)
+
+    def loss_fn(p):
+        return float(l2_loss(p, static, target, SPP, KEY, CFG))
+
+    loss, grads = loss_and_grad(params, static, target, SPP, KEY, CFG)
+    assert float(loss) > 0
+
+    # material color (red wall R channel)
+    fd = _fd(
+        loss_fn,
+        params,
+        lambda p: p.materials.color[1, 0],
+        lambda p, v: dataclasses.replace(
+            p, materials=dataclasses.replace(p.materials, color=p.materials.color.at[1, 0].set(v))
+        ),
+        h=2e-3,
+    )
+    _check("color[1,0]", grads.materials.color[1, 0], fd)
+
+    # light emittance
+    fd = _fd(
+        loss_fn,
+        params,
+        lambda p: p.materials.emittance[5],
+        lambda p, v: dataclasses.replace(
+            p, materials=dataclasses.replace(p.materials, emittance=p.materials.emittance.at[5].set(v))
+        ),
+        h=2e-2,
+    )
+    _check("emittance[5]", grads.materials.emittance[5], fd)
+
+    # object translation (blue diffuse sphere z)
+    fd = _fd(
+        loss_fn,
+        params,
+        lambda p: p.translations[7, 2],
+        lambda p, v: dataclasses.replace(p, translations=p.translations.at[7, 2].set(v)),
+        h=2e-3,
+    )
+    _check("translations[7,2]", grads.translations[7, 2], fd, rtol=0.25)
+
+    # object scale (blue sphere, uniform x component)
+    fd = _fd(
+        loss_fn,
+        params,
+        lambda p: p.scales[7, 0],
+        lambda p, v: dataclasses.replace(p, scales=p.scales.at[7, 0].set(v)),
+        h=2e-3,
+    )
+    _check("scales[7,0]", grads.scales[7, 0], fd, rtol=0.25)
+
+    # camera position: the cornell view is full of silhouettes, whose
+    # boundary (visibility) derivative the detached-sampling estimator
+    # deliberately omits — FD would measure smooth+boundary together, so
+    # here we only require a finite, nonzero smooth gradient; the FD match
+    # is asserted on a silhouette-free scene in
+    # test_camera_gradient_smooth_scene.
+    g = float(grads.cam_position[0])
+    assert np.isfinite(g) and abs(g) > 1e-7, g
+
+
+def test_gradient_descent_recovers_wall_color(setup):
+    """Tiny inverse-rendering sanity: gradient steps on the red wall color
+    reduce the loss toward the target."""
+    params0, static, target = setup
+    mats = params0.materials
+    params = dataclasses.replace(
+        params0,
+        materials=dataclasses.replace(mats, color=mats.color.at[1].set(jnp.array([0.3, 0.3, 0.3]))),
+    )
+    losses = []
+    lr = 2000.0
+    for _ in range(16):
+        loss, grads = loss_and_grad(params, static, target, SPP, KEY, CFG)
+        if losses and float(loss) > losses[-1]:
+            lr *= 0.5  # crude backtracking keeps the fixed-lr steps stable
+        losses.append(float(loss))
+        g = grads.materials.color
+        mask = jnp.zeros_like(g).at[1].set(1.0)  # only optimize the wall color
+        new_color = jnp.clip(params.materials.color - lr * g * mask, 0.0, 1.0)
+        params = dataclasses.replace(
+            params,
+            materials=dataclasses.replace(params.materials, color=new_color),
+        )
+    assert min(losses) < 0.3 * losses[0], losses
+    recovered = np.asarray(params.materials.color[1])
+    true = np.asarray(params0.materials.color[1])
+    assert np.abs(recovered - true).max() < 0.2, (recovered, true)
+
+
+def test_sharded_grads_match_single(setup):
+    from pathtracer_tpu.parallel.mesh import make_mesh
+    from pathtracer_tpu.render.diff import loss_and_grad_sharded, scatter_target
+
+    params0, static, target = setup
+    params = _perturb(params0)
+    mesh = make_mesh()
+    loss1, g1 = loss_and_grad(params, static, target, SPP, KEY, CFG)
+    loss8, g8 = loss_and_grad_sharded(
+        params, static, scatter_target(target, mesh), SPP, KEY, CFG, mesh
+    )
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat8 = jax.tree_util.tree_leaves(g8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_camera_gradient_smooth_scene(cornell):
+    """Camera gradients vs FD on a silhouette-free view (diffuse floor +
+    light overhead): every term is smooth, so pathwise AD == FD."""
+    from pathtracer_tpu.scene.parser import parse_scene_text
+
+    txt = """
+MATERIAL 0
+RGB .7 .7 .7
+SPECEX 0
+SPECRGB 1 1 1
+REFL 0
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 1
+RGB 1 1 1
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 8
+
+CAMERA
+RES 16 16
+FOVY 20
+ITERATIONS 1
+FILE x.png
+frame 0
+EYE 0 4 0
+VIEW 0 -1 0
+UP 0 0 -1
+
+OBJECT 0
+cube
+material 0
+frame 0
+TRANS 0 0 0
+ROTAT 0 0 0
+SCALE 40 .1 40
+
+OBJECT 1
+cube
+material 1
+frame 0
+TRANS 0 9 0
+ROTAT 0 0 0
+SCALE 40 .1 40
+"""
+    desc = parse_scene_text(txt)
+    params, static = params_from_description(desc, 0)
+    cfg = RenderConfig(max_depth=2, jitter=True, wavefront=False)
+    key = jax.random.PRNGKey(3)
+    target = render_linear(params, static, 2, key, cfg) * 0.8  # non-zero loss
+
+    def loss_fn(p):
+        return float(l2_loss(p, static, target, 2, key, cfg))
+
+    _, grads = loss_and_grad(params, static, target, 2, key, cfg)
+    for i, h in [(0, 2e-3), (1, 2e-3)]:
+        fd = _fd(
+            loss_fn,
+            params,
+            lambda p, i=i: p.cam_position[i],
+            lambda p, v, i=i: dataclasses.replace(
+                p, cam_position=p.cam_position.at[i].set(v)
+            ),
+            h=h,
+        )
+        _check(f"cam_position[{i}]", grads.cam_position[i], fd, rtol=0.1)

@@ -115,10 +115,10 @@ def test_engines_agree(cornell_small):
     )
     im, am, sm = render(cornell_small, 32, cfgm)
     iw, aw, sw = render(cornell_small, 32, cfgw)
-    # same estimator, independent RNG streams: means agree statistically
-    assert abs(float(jnp.mean(am)) - float(jnp.mean(aw))) / float(jnp.mean(am)) < 0.05
-    # both engines traced a similar number of rays
-    assert abs(sm["rays_traced"] - sw["rays_traced"]) / sm["rays_traced"] < 0.05
+    # shared RNG contract: both engines compute the SAME per-sample
+    # estimates, so accumulators match to float addition-order tolerance
+    np.testing.assert_allclose(np.asarray(am), np.asarray(aw), rtol=2e-4, atol=2e-4)
+    assert sm["rays_traced"] == sw["rays_traced"]
 
 
 def test_wavefront_capacity_invariance(cornell_small):
