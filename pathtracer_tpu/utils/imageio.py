@@ -65,12 +65,25 @@ def save_image(path: str, img01: np.ndarray) -> str:
     if d:
         os.makedirs(d, exist_ok=True)
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".bmp":
-        data = encode_bmp(rgb)
-    else:
-        if ext not in (".png", ""):
-            path = os.path.splitext(path)[0] + ".png"
-        data = encode_png(rgb)
+    if ext not in (".png", ".bmp", ""):
+        path = os.path.splitext(path)[0] + ".png"
+        ext = ".png"
+
+    # native C++ encoder fast path (native/src/ptnative.cpp), python fallback
+    try:
+        from pathtracer_tpu.utils import native
+
+        if native.available():
+            ok = (
+                native.write_bmp(path, rgb)
+                if ext == ".bmp"
+                else native.write_png(path, rgb)
+            )
+            if ok:
+                return path
+    except Exception:
+        pass
+    data = encode_bmp(rgb) if ext == ".bmp" else encode_png(rgb)
     with open(path, "wb") as f:
         f.write(data)
     return path
