@@ -1,0 +1,73 @@
+"""Stream compaction: scan-based partition of alive/dead lanes.
+
+The assignment's explicitly-required primitive ("parallelization by ray
+with stream compaction", reference README.md:50).  The production
+wavefront engine (render/wavefront.py) uses the *zero-copy* variant —
+rank-assignment over dead lanes with in-place refill — but the classic
+move-the-survivors compaction is part of the framework surface: it is
+what you want when lanes must become *dense* (e.g. shrinking the active
+buffer, or material-sorted shading queues), and it is the building block
+the Pallas queue kernels use.
+
+All shapes are static (XLA-friendly): ``compact`` returns a fixed-size
+buffer + a scalar count; slots past the count hold ``fill``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compaction_indices(keep: jax.Array):
+    """For boolean ``keep [N]``: returns ``(dest [N], count)`` where
+    ``dest[i]`` is the output slot of lane ``i`` (valid only where keep).
+    One exclusive-scan (cumsum) — the same primitive thrust::copy_if uses.
+    """
+    incl = jnp.cumsum(keep.astype(jnp.int32))
+    return incl - 1, incl[-1]
+
+
+def compact(keep: jax.Array, values, fill=0):
+    """Partition ``values`` (array or pytree of arrays with leading axis N)
+    so the ``keep`` lanes occupy slots ``0..count-1`` in original order.
+
+    Returns ``(compacted_values, count)``; tail slots are ``fill``.
+    Indices are detached — under ``jax.grad`` compaction is a plain
+    gather/scatter (grad-transparent, SURVEY.md §7)."""
+    dest, count = compaction_indices(keep)
+    dest = jax.lax.stop_gradient(dest)
+    n = keep.shape[0]
+    # scatter keep-lanes to their rank; mode="drop" ignores dead lanes,
+    # which we send to an out-of-range slot
+    slot = jnp.where(keep, dest, n)
+
+    def one(arr):
+        out = jnp.full(arr.shape, fill, arr.dtype)
+        return out.at[slot].set(arr, mode="drop")
+
+    return jax.tree_util.tree_map(one, values), count
+
+
+def partition(keep: jax.Array, values):
+    """Full partition: keep-lanes first (in order), dropped lanes after
+    (in order).  Returns ``(partitioned_values, count)``."""
+    dest_keep, count = compaction_indices(keep)
+    drop = ~keep
+    dest_drop = jnp.cumsum(drop.astype(jnp.int32)) - 1 + count
+    slot = jax.lax.stop_gradient(jnp.where(keep, dest_keep, dest_drop))
+
+    def one(arr):
+        return jnp.zeros_like(arr).at[slot].set(arr)
+
+    return jax.tree_util.tree_map(one, values), count
+
+
+def sort_by_key_u8(key_u8: jax.Array, values):
+    """Stable counting-sort of lanes by a small uint key (e.g. material id
+    or BSDF lobe), via 256-way cumsum histogram.  Used for material-sorted
+    shading queues (coherent shading — the wavefront-paper optimization).
+    Returns ``(sorted_values, order)``."""
+    order = jnp.argsort(key_u8, stable=True)
+    order = jax.lax.stop_gradient(order)
+    return jax.tree_util.tree_map(lambda a: a[order], values), order
