@@ -43,6 +43,8 @@ class MaterialLookup:
     has_refractive: jax.Array  # [N]
     ior: jax.Array  # [N]
     emittance: jax.Array  # [N]
+    specular_exponent: jax.Array  # [N] Phong exponent (0 => ideal mirror)
+    absorption: jax.Array  # [N, 3] Beer-Lambert sigma_a inside the medium
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -58,6 +60,8 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.has_refractive[:, None],  # 7
             materials.index_of_refraction[:, None],  # 8
             materials.emittance[:, None],  # 9
+            materials.specular_exponent[:, None],  # 10
+            materials.absorption_coefficient,  # 11:14
         ],
         axis=-1,
     )
@@ -72,6 +76,8 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         has_refractive=rows[:, 7],
         ior=rows[:, 8],
         emittance=rows[:, 9],
+        specular_exponent=rows[:, 10],
+        absorption=rows[:, 11:14],
     )
 
 
@@ -105,6 +111,30 @@ def cosine_hemisphere(normal: jax.Array, xi1: jax.Array, xi2: jax.Array) -> jax.
         up[..., None] * normal
         + (jnp.cos(around) * over)[..., None] * perp1
         + (jnp.sin(around) * over)[..., None] * perp2
+    )
+
+
+def _rotate_about(axis_dir: jax.Array, cos_angle: jax.Array, phi: jax.Array) -> jax.Array:
+    """Direction at angle ``acos(cos_angle)`` around ``axis_dir`` with
+    azimuth ``phi`` (frame built with the same Kutz trick)."""
+    sin_angle = jnp.sqrt(jnp.clip(1.0 - cos_angle**2, 0.0))
+    ax = jnp.abs(axis_dir)
+    use_x = ax[..., 0] < SQRT_ONE_THIRD
+    use_y = (~use_x) & (ax[..., 1] < SQRT_ONE_THIRD)
+    not_axis = jnp.stack(
+        [
+            jnp.where(use_x, 1.0, 0.0),
+            jnp.where(use_y, 1.0, 0.0),
+            jnp.where(use_x | use_y, 0.0, 1.0),
+        ],
+        axis=-1,
+    )
+    p1 = _normalize(jnp.cross(axis_dir, not_axis))
+    p2 = _normalize(jnp.cross(axis_dir, p1))
+    return (
+        cos_angle[..., None] * axis_dir
+        + (jnp.cos(phi) * sin_angle)[..., None] * p1
+        + (jnp.sin(phi) * sin_angle)[..., None] * p2
     )
 
 
@@ -162,7 +192,9 @@ class ScatterSample:
     direction: jax.Array  # [N, 3] next ray direction
     origin: jax.Array  # [N, 3] next ray origin (bias applied)
     throughput_mult: jax.Array  # [N, 3] multiplier on path throughput
-    is_specular: jax.Array  # [N] bool (mirror or dielectric event)
+    is_specular: jax.Array  # [N] bool (mirror/glossy/dielectric event)
+    transmitted: jax.Array  # [N] bool: dielectric transmission happened
+    entering: jax.Array  # [N] bool: ray was outside the surface
 
 
 def sample_bsdf(
@@ -191,6 +223,22 @@ def sample_bsdf(
     # --- perfect mirror lobe
     d_mirror = reflect(incident, n)
 
+    # --- Phong glossy lobe (SPECEX > 0): power-cosine sample about the
+    # mirror direction; estimator weight (n+2)/(n+1) * cos(theta_out) for
+    # the rho_s (n+2)/(2pi) cos^n BRDF under its own lobe pdf.  Samples
+    # falling under the surface are killed (zero weight).
+    exp_n = jnp.maximum(mat.specular_exponent, 1e-6)
+    cos_alpha = jnp.clip(u[..., 0], 1e-9) ** (1.0 / (exp_n + 1.0))
+    d_glossy = _rotate_about(
+        d_mirror, cos_alpha, u[..., 1] * 2.0 * jnp.pi
+    )
+    glossy_cos_out = jnp.sum(d_glossy * n, axis=-1)
+    glossy_weight = jnp.where(
+        glossy_cos_out > 0.0,
+        (exp_n + 2.0) / (exp_n + 1.0) * jnp.clip(glossy_cos_out, 0.0, 1.0),
+        0.0,
+    )
+
     # --- dielectric: Fresnel-weighted reflect/transmit
     ior_i = jnp.where(entering, 1.0, mat.ior)
     ior_t = jnp.where(entering, mat.ior, 1.0)
@@ -203,20 +251,30 @@ def sample_bsdf(
     d_dielectric = jnp.where(choose_reflect[..., None], d_mirror, d_refr)
 
     is_refractive = mat.has_refractive > 0.0
-    is_mirror = (~is_refractive) & (mat.has_reflective > 0.0)
-    is_specular = is_refractive | is_mirror
+    is_reflective = (~is_refractive) & (mat.has_reflective > 0.0)
+    is_glossy = is_reflective & (mat.specular_exponent > 0.0)
+    is_mirror = is_reflective & (~is_glossy)
+    is_specular = is_refractive | is_reflective
 
     direction = jnp.where(
         is_refractive[..., None],
         d_dielectric,
-        jnp.where(is_mirror[..., None], d_mirror, d_diffuse),
+        jnp.where(
+            is_glossy[..., None],
+            d_glossy,
+            jnp.where(is_mirror[..., None], d_mirror, d_diffuse),
+        ),
     )
 
     # throughput: diffuse => albedo (cosine/pdf cancels); mirror => specular
-    # color; dielectric => specular color for both lobes (choice probability
-    # cancels against the Fresnel weight in the standard RR estimator)
+    # color; glossy => specular color * Phong lobe weight; dielectric =>
+    # specular color for both lobes (choice probability cancels against the
+    # Fresnel weight in the standard RR estimator)
     throughput_mult = jnp.where(
         is_specular[..., None], mat.specular_color, mat.color
+    )
+    throughput_mult = jnp.where(
+        is_glossy[..., None], throughput_mult * glossy_weight[..., None], throughput_mult
     )
 
     # bias the new origin off the surface: along +n for reflected/diffuse,
@@ -231,4 +289,6 @@ def sample_bsdf(
         origin=origin,
         throughput_mult=throughput_mult,
         is_specular=is_specular,
+        transmitted=transmitted,
+        entering=entering,
     )

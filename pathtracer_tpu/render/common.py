@@ -48,10 +48,11 @@ class BounceResult:
     contrib: jax.Array  # [N, 3] radiance contribution this bounce
     next_origin: jax.Array  # [N, 3]
     next_direction: jax.Array  # [N, 3]
-    throughput_mult: jax.Array  # [N, 3]
+    throughput_mult: jax.Array  # [N, 3] (includes Beer-Lambert attenuation)
     terminate: jax.Array  # [N] bool: path ends here (miss/light hit)
     was_specular: jax.Array  # [N] bool: this bounce's event was specular
     rr_uniform: jax.Array  # [N] uniform reserved for russian roulette
+    next_medium: jax.Array  # [N, 3] absorption sigma of the medium entered
 
 
 def shade_bounce(
@@ -63,12 +64,24 @@ def shade_bounce(
     prev_specular: jax.Array,
     base_key,
     cfg: RenderConfig,
+    medium_sigma: jax.Array | None = None,
 ) -> BounceResult:
     """One physics step for a wavefront of rays (mask-free: callers gate
-    with their own alive masks)."""
+    with their own alive masks).  ``medium_sigma`` [N, 3] is the
+    Beer-Lambert absorption coefficient of the medium each ray currently
+    travels through (zeros = vacuum) — the realized version of the
+    reference's absorption stubs (interactions.h:30-39, ABSCOEFF DSL
+    field)."""
     hit = intersect_scene(rays, scene.geoms)
     mat = gather_materials(scene.materials, hit.material_id)
     emissive = mat.emittance > 0.0
+
+    # Beer-Lambert attenuation over the segment just traveled
+    if medium_sigma is None:
+        medium_sigma = jnp.zeros_like(throughput)
+    seg = jnp.where(hit.hit, hit.t, 0.0)
+    atten = jnp.exp(-medium_sigma * seg[:, None])
+    throughput = throughput * atten
 
     u = bounce_uniforms(base_key, sample_idx, depth)
 
@@ -118,12 +131,18 @@ def shade_bounce(
         )
 
     terminate = (~hit.hit) | emissive
+    next_medium = jnp.where(
+        scatter.transmitted[:, None],
+        jnp.where(scatter.entering[:, None], mat.absorption, 0.0),
+        medium_sigma,
+    )
     return BounceResult(
         contrib=contrib,
         next_origin=scatter.origin,
         next_direction=scatter.direction,
-        throughput_mult=scatter.throughput_mult,
+        throughput_mult=atten * scatter.throughput_mult,
         terminate=terminate,
         was_specular=scatter.is_specular,
         rr_uniform=u[:, 3],
+        next_medium=next_medium,
     )

@@ -42,10 +42,11 @@ def trace_paths(
     n = rays.count
 
     def bounce(carry, depth):
-        rays, throughput, alive, prev_spec, radiance, nrays = carry
+        rays, throughput, alive, prev_spec, medium, radiance, nrays = carry
         nrays = nrays + jnp.sum(alive.astype(jnp.float32)) * (2.0 if cfg.nee else 1.0)  # +shadow ray
         res = shade_bounce(
-            scene, rays, throughput, sample_idx, depth, prev_spec, base_key, cfg
+            scene, rays, throughput, sample_idx, depth, prev_spec, base_key, cfg,
+            medium_sigma=medium,
         )
         radiance = radiance + jnp.where(alive[:, None], res.contrib, 0.0)
         new_alive = alive & (~res.terminate)
@@ -69,17 +70,22 @@ def trace_paths(
                 new_alive[:, None], res.next_direction, rays.direction
             ),
         )
-        return (rays, throughput, new_alive, res.was_specular, radiance, nrays), None
+        carry = (
+            rays, throughput, new_alive, res.was_specular, res.next_medium,
+            radiance, nrays,
+        )
+        return carry, None
 
     init = (
         rays,
         jnp.ones((n, 3), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
+        jnp.zeros((n, 3), jnp.float32),  # medium sigma (vacuum)
         jnp.zeros((n, 3), jnp.float32),
         jnp.float32(0.0),
     )
-    (_, _, _, _, radiance, nrays), _ = jax.lax.scan(
+    (_, _, _, _, _, radiance, nrays), _ = jax.lax.scan(
         bounce, init, jax.lax.iota(jnp.int32, cfg.max_depth)
     )
     return radiance, nrays

@@ -89,6 +89,7 @@ def render_samples_wavefront(
         sample=sample0,
         depth=jnp.zeros((capacity,), jnp.int32),
         prev_spec=jnp.zeros((capacity,), bool),
+        medium=jnp.zeros((capacity, 3), jnp.float32),
         alive=first_q < end_queue,
         next_queue=start_queue + capacity,
         accum=accum,
@@ -111,6 +112,7 @@ def render_samples_wavefront(
             st["prev_spec"],
             base_key,
             cfg,
+            medium_sigma=st["medium"],
         )
         radiance = st["radiance"] + jnp.where(alive[:, None], res.contrib, 0.0)
 
@@ -153,6 +155,7 @@ def render_samples_wavefront(
             sample=lane_select(new_sample, st["sample"]),
             depth=lane_select(jnp.zeros_like(depth), depth),
             prev_spec=lane_select(jnp.zeros_like(res.was_specular), res.was_specular),
+            medium=lane_select(jnp.zeros_like(res.next_medium), res.next_medium),
             alive=can_spawn | survive,
             next_queue=st["next_queue"] + n_spawned,
             accum=accum,

@@ -1,0 +1,163 @@
+"""Extended material physics: Beer-Lambert absorption inside dielectrics
+(ABSCOEFF, reference interactions.h:30-39 stubs) and Phong glossy
+reflection (SPECEX)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.render.integrator import render
+from pathtracer_tpu.scene.parser import parse_scene_text
+
+BASE = """
+MATERIAL 0
+RGB .8 .8 .8
+SPECEX 0
+SPECRGB 1 1 1
+REFL 0
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 1
+RGB 0 0 0
+SPECEX 0
+SPECRGB 1 1 1
+REFL 0
+REFR 1
+REFRIOR 1.5
+SCATTER 0
+ABSCOEFF {abs}
+RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 2
+RGB 1 1 1
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 8
+
+CAMERA
+RES 24 24
+FOVY 30
+ITERATIONS 1
+FILE x.png
+frame 0
+EYE 0 2 8
+VIEW 0 0 -1
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+frame 0
+TRANS 0 -1 0
+ROTAT 0 0 0
+SCALE 30 1 30
+
+OBJECT 1
+sphere
+material 1
+frame 0
+TRANS 0 2 0
+ROTAT 0 0 0
+SCALE 3 3 3
+
+OBJECT 2
+cube
+material 2
+frame 0
+TRANS 0 10 0
+ROTAT 0 0 0
+SCALE 10 .3 10
+"""
+
+
+def _render(absco, seed=0):
+    desc = parse_scene_text(BASE.format(abs=absco))
+    sc = desc.scene_for_frame(0)
+    cfg = RenderConfig(max_depth=6, iters_per_launch=16, seed=seed)
+    img, accum, _ = render(sc, 32, cfg)
+    return np.asarray(accum) / 32.0
+
+
+def test_beer_absorption_darkens_glass():
+    clear = _render("0 0 0")
+    tinted = _render(".8 .1 .1")  # absorbs red strongly
+    # center pixels look through the glass sphere
+    c = clear.reshape(24, 24, 3)[10:14, 10:14].mean(axis=(0, 1))
+    t = tinted.reshape(24, 24, 3)[10:14, 10:14].mean(axis=(0, 1))
+    assert t[0] < 0.75 * c[0], (t, c)  # red strongly absorbed
+    assert t[1] > 0.75 * c[1], (t, c)  # green barely touched
+    # vacuum paths (corner floor, no glass) unchanged
+    np.testing.assert_allclose(
+        clear.reshape(24, 24, 3)[22, 2], tinted.reshape(24, 24, 3)[22, 2], atol=1e-5
+    )
+
+
+def test_glossy_lobe_concentration():
+    from pathtracer_tpu.ops.bsdf import MaterialLookup, sample_bsdf
+
+    n = 20000
+    def mk(specex):
+        return MaterialLookup(
+            color=jnp.zeros((n, 3)),
+            specular_color=jnp.ones((n, 3)),
+            has_reflective=jnp.ones((n,)),
+            has_refractive=jnp.zeros((n,)),
+            ior=jnp.zeros((n,)),
+            emittance=jnp.zeros((n,)),
+            specular_exponent=jnp.full((n,), float(specex)),
+            absorption=jnp.zeros((n, 3)),
+        )
+
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    inc = jnp.tile(jnp.array([[0.6, 0.0, -0.8]]), (n, 1))
+    pos = jnp.zeros((n, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n, 3))
+    mirror_dir = np.array([0.6, 0.0, 0.8])
+
+    cos_align = {}
+    for e in (8.0, 128.0):
+        s = sample_bsdf(mk(e), pos, normal, inc, u)
+        d = np.asarray(s.direction)
+        cos_align[e] = (d @ mirror_dir).mean()
+        assert bool(np.asarray(s.is_specular).all())
+    # higher exponent => tighter about the mirror direction
+    assert cos_align[128.0] > 0.98 and cos_align[8.0] > 0.85  # E[cos a] = (n+1)/(n+2)
+
+
+def test_glossy_exponent_zero_is_mirror():
+    from pathtracer_tpu.ops.bsdf import MaterialLookup, sample_bsdf
+
+    n = 64
+    mat = MaterialLookup(
+        color=jnp.zeros((n, 3)),
+        specular_color=jnp.ones((n, 3)),
+        has_reflective=jnp.ones((n,)),
+        has_refractive=jnp.zeros((n,)),
+        ior=jnp.zeros((n,)),
+        emittance=jnp.zeros((n,)),
+        specular_exponent=jnp.zeros((n,)),
+        absorption=jnp.zeros((n, 3)),
+    )
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    inc = jnp.tile(jnp.array([[0.6, 0.0, -0.8]]), (n, 1))
+    u = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+    s = sample_bsdf(mat, jnp.zeros((n, 3)), normal, inc, u)
+    np.testing.assert_allclose(
+        np.asarray(s.direction), np.tile([[0.6, 0.0, 0.8]], (n, 1)), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(s.throughput_mult), 1.0, atol=1e-6)
