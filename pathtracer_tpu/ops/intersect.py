@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.ops.transforms import transform_dir, transform_normal, transform_point
-from pathtracer_tpu.scene.structs import CUBE, SPHERE, Geoms, Rays, pytree_dataclass
+from pathtracer_tpu.scene.structs import CUBE, MESH, SPHERE, Geoms, Rays, pytree_dataclass
 
 # "miss" sentinel (finite: keeps grads NaN-free).  Plain python float, NOT a
 # jnp array: module-level jax Arrays get lifted into compiled executables as
@@ -140,9 +140,80 @@ def select_rows(onehot: jax.Array, table: jax.Array) -> jax.Array:
     return out.reshape((onehot.shape[0],) + table.shape[1:])
 
 
-def intersect_scene(rays: Rays, geoms: Geoms, t_min=T_MIN) -> Hit:
-    """Nearest-hit query for a wavefront of rays against all geoms."""
+def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128):
+    """Nearest triangle hit for object-space rays against a mesh.
+
+    Moeller-Trumbore over all triangles, scanned in fixed-size chunks so
+    the [N, T] intermediates never materialize beyond [N, chunk] (XLA
+    fuses each chunk into one VPU pass).  Returns ``(t [N], n_obj [N,3])``
+    with unnormalized face normals (normalized downstream).  This is the
+    realization of the reference's empty MESH branch
+    (raytraceKernel.cu:144-145).
+    """
+    n = o_obj.shape[0]
+    t_count = tri_verts.shape[0]
+    pad = (-t_count) % chunk
+    if pad:
+        # degenerate (zero-area) triangles never hit
+        tri_verts = jnp.concatenate(
+            [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
+        )
+    tri_chunks = tri_verts.reshape(-1, chunk, 3, 3)
+
+    v0 = tri_chunks[:, :, 0]
+    e1 = tri_chunks[:, :, 1] - tri_chunks[:, :, 0]
+    e2 = tri_chunks[:, :, 2] - tri_chunks[:, :, 0]
+
+    def body(carry, tri):
+        best_t, best_n = carry
+        cv0, ce1, ce2 = tri  # [chunk, 3] each
+        # broadcast [N, 1, 3] x [1, chunk, 3]
+        d = d_obj[:, None, :]
+        h = jnp.cross(d, ce2[None, :, :])
+        a = jnp.sum(ce1[None, :, :] * h, axis=-1)  # [N, chunk]
+        f = _safe_div(1.0, a)
+        svec = o_obj[:, None, :] - cv0[None, :, :]
+        u = f * jnp.sum(svec * h, axis=-1)
+        q = jnp.cross(svec, ce1[None, :, :])
+        v = f * jnp.sum(d * q, axis=-1)
+        t = f * jnp.sum(ce2[None, :, :] * q, axis=-1)
+        ok = (
+            (jnp.abs(a) > 1e-12)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min)
+        )
+        t = jnp.where(ok, t, BIG)
+        idx = jnp.argmin(t, axis=-1)  # [N]
+        t_best_chunk = jnp.min(t, axis=-1)
+        n_chunk = jnp.cross(ce1, ce2)  # [chunk, 3] face normals
+        n_pick = n_chunk[idx]  # chunk-sized table gather (small)
+        better = t_best_chunk < best_t
+        best_n = jnp.where(better[:, None], n_pick, best_n)
+        best_t = jnp.minimum(best_t, t_best_chunk)
+        return (best_t, best_n), None
+
+    init = (jnp.full((n,), BIG, jnp.float32), jnp.zeros((n, 3), jnp.float32))
+    (best_t, best_n), _ = jax.lax.scan(body, init, (v0, e1, e2))
+    return best_t, best_n
+
+
+def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> Hit:
+    """Nearest-hit query for a wavefront of rays against all geoms
+    (analytic primitives + any triangle-mesh instances)."""
     t_all = intersect_t_sweep(rays, geoms, t_min)  # [N, G]
+
+    # merge mesh instances (static python loop; typically 0-2 per scene)
+    mesh_normals = []  # [(geom_index, n_obj [N,3])]
+    for m in meshes:
+        gi = m.geom_index
+        inv = geoms.inv_transform[gi]
+        o_obj = transform_point(inv, rays.origin)
+        d_obj = transform_dir(inv, rays.direction)
+        mt, mn = mesh_t_and_normal(o_obj, d_obj, m.tri_verts, t_min)
+        t_all = t_all.at[:, gi].set(mt)
+        mesh_normals.append((gi, mn))
+
     geom_id = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [N]
     t = jnp.min(t_all, axis=-1)
     hit = t < BIG
@@ -168,6 +239,10 @@ def intersect_scene(rays: Rays, geoms: Geoms, t_min=T_MIN) -> Hit:
         sphere_normal_obj(p_obj),
         cube_normal_obj(p_obj),
     )
+    for gi, mn in mesh_normals:
+        sel = (geom_id == gi)[:, None]
+        mn_unit = mn / jnp.linalg.norm(mn, axis=-1, keepdims=True).clip(1e-12)
+        n_obj = jnp.where(sel, mn_unit, n_obj)
     n_world = transform_normal(inv, n_obj)
 
     return Hit(

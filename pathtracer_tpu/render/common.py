@@ -72,7 +72,7 @@ def shade_bounce(
     travels through (zeros = vacuum) — the realized version of the
     reference's absorption stubs (interactions.h:30-39, ABSCOEFF DSL
     field)."""
-    hit = intersect_scene(rays, scene.geoms)
+    hit = intersect_scene(rays, scene.geoms, scene.meshes)
     mat = gather_materials(scene.materials, hit.material_id)
     emissive = mat.emittance > 0.0
 
@@ -116,7 +116,7 @@ def shade_bounce(
 
         # shadow ray (the second intersect sweep of the bounce)
         shadow = Rays(origin=x, direction=wi)
-        occ = intersect_scene(shadow, scene.geoms)
+        occ = intersect_scene(shadow, scene.geoms, scene.meshes)
         visible = (~occ.hit) | (occ.t >= dist - 4.0 * RAY_BIAS)
 
         g = cos_x * cos_y / jnp.maximum(dist2, 1e-12)

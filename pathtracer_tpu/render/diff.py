@@ -75,6 +75,11 @@ def params_from_description(desc, frame: int = 0):
     """SceneDescription -> (SceneParams, SceneStatic)."""
     from pathtracer_tpu.ops.camera import derive_fov
 
+    if any(t is not None for t in (desc.mesh_tris or ())):
+        raise NotImplementedError(
+            "differentiable mode does not support triangle meshes yet"
+        )
+
     mats = Materials(
         **{k: jnp.asarray(v, jnp.float32) for k, v in desc.materials.items()}
     )

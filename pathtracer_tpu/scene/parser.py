@@ -54,7 +54,9 @@ def _tokenize(line: str) -> List[str]:
     return line.split()
 
 
-def parse_scene_text(text: str, name: str = "<string>") -> SceneDescription:
+def parse_scene_text(
+    text: str, name: str = "<string>", scene_dir: str | None = None
+) -> SceneDescription:
     lines = text.splitlines()
     pos = 0
 
@@ -133,6 +135,11 @@ def parse_scene_text(text: str, name: str = "<string>") -> SceneDescription:
         for field, _ in _MATERIAL_KEYS.values()
     }
 
+    mesh_tris = tuple(
+        _load_mesh(o["mesh_path"], scene_dir) if o["type"] == MESH else None
+        for o in objects
+    )
+
     return SceneDescription(
         frames=n_frames,
         iterations=camera["iterations"],
@@ -156,7 +163,19 @@ def parse_scene_text(text: str, name: str = "<string>") -> SceneDescription:
             [[o["scale"][f] for o in objects] for f in range(n_frames)], np.float32
         ),
         materials=mat_soa,
+        mesh_tris=mesh_tris,
     )
+
+
+def _load_mesh(token, scene_dir):
+    import os as _os
+
+    from pathtracer_tpu.scene.obj import load_obj
+
+    for cand in (token, _os.path.join(scene_dir or ".", token)):
+        if _os.path.exists(cand):
+            return load_obj(cand)
+    raise SceneParseError(f"mesh file not found: {token!r}")
 
 
 def _parse_camera(advance, peek, name):
@@ -267,11 +286,17 @@ def load_scene(path: str) -> SceneDescription:
     compiled library is available (see ``native/``), else pure Python."""
     with open(path, "r") as f:
         text = f.read()
+    scene_dir = os.path.dirname(os.path.abspath(path))
     try:
         from pathtracer_tpu.utils import native
 
         if native.available():
-            return native.parse_scene_text(text, name=os.path.basename(path))
+            desc = native.parse_scene_text(text, name=os.path.basename(path))
+            from pathtracer_tpu.scene.structs import MESH as _MESH
+
+            if not (desc.geom_type == _MESH).any():
+                return desc
+            # mesh scenes need the python parser (it captures mesh paths)
     except ImportError:
         pass
-    return parse_scene_text(text, name=os.path.basename(path))
+    return parse_scene_text(text, name=os.path.basename(path), scene_dir=scene_dir)

@@ -125,6 +125,18 @@ class Camera:
         return int(self.resolution[1])
 
 
+@pytree_dataclass(meta_fields=("geom_index",))
+class MeshInstance:
+    """A triangle mesh bound to one geom slot (type MESH).  Triangles live
+    in the mesh's object space; the geom's transform instancing applies,
+    exactly like the analytic primitives.  Reference analog: the declared
+    GEOMTYPE::MESH whose trace branch was left empty
+    (raytraceKernel.cu:144-145)."""
+
+    geom_index: int  # static: which geoms[] slot this mesh occupies
+    tri_verts: jax.Array  # [T, 3, 3] float32
+
+
 @pytree_dataclass
 class Scene:
     """A full renderable scene for one animation frame — a differentiable
@@ -134,6 +146,7 @@ class Scene:
     geoms: Geoms
     materials: Materials
     camera: Camera
+    meshes: tuple = ()  # tuple[MeshInstance, ...]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,6 +177,8 @@ class SceneDescription:
     scales: np.ndarray  # [F, G, 3]
     # material table (numpy dict of field -> array)
     materials: dict
+    # per-object mesh triangles ([T,3,3] np arrays for MESH objects, else None)
+    mesh_tris: tuple = ()
 
     def scene_for_frame(self, frame: int) -> Scene:
         """Select one animation frame into a device-ready :class:`Scene`
@@ -184,7 +199,12 @@ class SceneDescription:
             **{k: jnp.asarray(v, jnp.float32) for k, v in self.materials.items()}
         )
         cam = self.camera_for_frame(frame)
-        return Scene(geoms=geoms, materials=mats, camera=cam)
+        meshes = tuple(
+            MeshInstance(geom_index=g, tri_verts=jnp.asarray(tris, jnp.float32))
+            for g, tris in enumerate(self.mesh_tris or ())
+            if tris is not None
+        )
+        return Scene(geoms=geoms, materials=mats, camera=cam, meshes=meshes)
 
     def camera_for_frame(self, frame: int) -> Camera:
         from pathtracer_tpu.ops.camera import derive_fov
