@@ -45,6 +45,8 @@ class MaterialLookup:
     emittance: jax.Array  # [N]
     specular_exponent: jax.Array  # [N] Phong exponent (0 => ideal mirror)
     absorption: jax.Array  # [N, 3] Beer-Lambert sigma_a inside the medium
+    has_scatter: jax.Array  # [N] volumetric scattering flag
+    scatter_coeff: jax.Array  # [N] reduced scattering sigma_s'
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -62,6 +64,8 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.emittance[:, None],  # 9
             materials.specular_exponent[:, None],  # 10
             materials.absorption_coefficient,  # 11:14
+            materials.has_scatter[:, None],  # 14
+            materials.reduced_scatter_coefficient[:, None],  # 15
         ],
         axis=-1,
     )
@@ -78,6 +82,8 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         emittance=rows[:, 9],
         specular_exponent=rows[:, 10],
         absorption=rows[:, 11:14],
+        has_scatter=rows[:, 14],
+        scatter_coeff=rows[:, 15],
     )
 
 

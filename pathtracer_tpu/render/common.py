@@ -17,8 +17,9 @@ Estimator (cfg.nee=True): classic NEE split —
 cfg.nee=False falls back to the pure BSDF+emittance estimator — the
 completed-assignment semantics of the reference (README.md:47-50).
 
-RNG: ``bounce_uniforms`` — 8 uniforms per (sample, depth): 3 BSDF lobe/
-direction, 1 russian roulette, 4 light sampling.
+RNG: ``bounce_uniforms`` — 11 uniforms per (sample, depth): 3 BSDF lobe/
+direction, 1 russian roulette, 4 light sampling, 3 volumetric scattering
+(free-path distance + phase direction).
 """
 
 from __future__ import annotations
@@ -34,11 +35,11 @@ from pathtracer_tpu.scene.structs import Rays, Scene, pytree_dataclass
 
 
 def bounce_uniforms(base_key, sample_idx, depth):
-    """[N, 8] uniforms, a pure function of (base_key, sample, depth) —
+    """[N, 11] uniforms, a pure function of (base_key, sample, depth) —
     the RNG contract that makes engines and shardings agree exactly."""
     return jax.vmap(
         lambda s, d: jax.random.uniform(
-            jax.random.fold_in(jax.random.fold_in(base_key, s), d + 1), (8,)
+            jax.random.fold_in(jax.random.fold_in(base_key, s), d + 1), (11,)
         )
     )(sample_idx, jnp.broadcast_to(depth, sample_idx.shape))
 
@@ -52,7 +53,7 @@ class BounceResult:
     terminate: jax.Array  # [N] bool: path ends here (miss/light hit)
     was_specular: jax.Array  # [N] bool: this bounce's event was specular
     rr_uniform: jax.Array  # [N] uniform reserved for russian roulette
-    next_medium: jax.Array  # [N, 3] absorption sigma of the medium entered
+    next_medium: jax.Array  # [N, 4] (sigma_a rgb, sigma_s) of medium entered
 
 
 def shade_bounce(
@@ -67,23 +68,40 @@ def shade_bounce(
     medium_sigma: jax.Array | None = None,
 ) -> BounceResult:
     """One physics step for a wavefront of rays (mask-free: callers gate
-    with their own alive masks).  ``medium_sigma`` [N, 3] is the
-    Beer-Lambert absorption coefficient of the medium each ray currently
-    travels through (zeros = vacuum) — the realized version of the
-    reference's absorption stubs (interactions.h:30-39, ABSCOEFF DSL
-    field)."""
+    with their own alive masks).
+
+    ``medium_sigma`` [N, 4] is ``(sigma_a rgb, sigma_s)`` of the medium
+    each ray currently travels through (zeros = vacuum) — the realized
+    version of the reference's absorption-and-scattering stubs
+    (interactions.h:11-39; ABSCOEFF / SCATTER / RSCTCOEFF DSL fields).
+    Volumetric scattering: an exponential free path ~ sigma_s is sampled
+    per segment; if it lands before the surface, the lane undergoes an
+    isotropic in-medium scatter event instead of a surface interaction."""
     hit = intersect_scene(rays, scene.geoms, scene.meshes)
     mat = gather_materials(scene.materials, hit.material_id)
     emissive = mat.emittance > 0.0
 
-    # Beer-Lambert attenuation over the segment just traveled
     if medium_sigma is None:
-        medium_sigma = jnp.zeros_like(throughput)
-    seg = jnp.where(hit.hit, hit.t, 0.0)
-    atten = jnp.exp(-medium_sigma * seg[:, None])
-    throughput = throughput * atten
+        medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
+    sigma_a = medium_sigma[:, 0:3]
+    sigma_s = medium_sigma[:, 3]
 
     u = bounce_uniforms(base_key, sample_idx, depth)
+
+    # ---- volumetric free path: distance to the next scatter event;
+    # effectively infinite in non-scattering media
+    free_path = jnp.where(
+        sigma_s > 0.0,
+        -jnp.log(jnp.clip(1.0 - jax.lax.stop_gradient(u[:, 8]), 1e-7, 1.0))
+        / jnp.maximum(sigma_s, 1e-12),
+        jnp.float32(1e30),
+    )
+    vol_scatter = hit.hit & (free_path < hit.t)
+
+    # Beer-Lambert attenuation over the segment actually traveled
+    seg = jnp.where(vol_scatter, free_path, jnp.where(hit.hit, hit.t, 0.0))
+    atten = jnp.exp(-sigma_a * seg[:, None])
+    throughput = throughput * atten
 
     # ---- emittance on BSDF hit.  With NEE, count only where no NEE could
     # have sampled this light: primary rays and post-specular bounces.
@@ -93,7 +111,9 @@ def shade_bounce(
     else:
         count_emit = jnp.ones_like(emissive)
     emitted = throughput * mat.color * mat.emittance[:, None]
-    contrib = jnp.where((hit.hit & emissive & count_emit)[:, None], emitted, 0.0)
+    contrib = jnp.where(
+        (hit.hit & emissive & count_emit & (~vol_scatter))[:, None], emitted, 0.0
+    )
 
     # ---- BSDF continuation sample
     scatter = sample_bsdf(mat, hit.position, hit.normal, rays.direction, u[:, 0:3])
@@ -111,7 +131,7 @@ def shade_bounce(
         wi = to_light / dist[:, None]
         cos_x = jnp.sum(n_shade * wi, axis=-1)
         cos_y = jnp.sum(ls.normal * (-wi), axis=-1)
-        diffuse_lane = hit.hit & (~emissive) & (~scatter.is_specular)
+        diffuse_lane = hit.hit & (~emissive) & (~scatter.is_specular) & (~vol_scatter)
         candidate = diffuse_lane & ls.valid & (cos_x > 0) & (cos_y > 0)
 
         # shadow ray (the second intersect sweep of the bounce)
@@ -130,19 +150,44 @@ def shade_bounce(
             (candidate & visible)[:, None], nee, 0.0
         )
 
-    terminate = (~hit.hit) | emissive
-    next_medium = jnp.where(
-        scatter.transmitted[:, None],
-        jnp.where(scatter.entering[:, None], mat.absorption, 0.0),
-        medium_sigma,
+    # ---- in-medium scatter event: isotropic phase function at the
+    # sampled interior point; stays in the same medium, no NEE/emission
+    from pathtracer_tpu.ops.bsdf import uniform_sphere
+
+    vol_pos = rays.origin + free_path[:, None] * rays.direction
+    vol_dir = uniform_sphere(u[:, 9], u[:, 10])
+
+    terminate = (~hit.hit) | (emissive & (~vol_scatter))
+    surf_medium = jnp.concatenate(
+        [
+            jnp.where(
+                scatter.transmitted[:, None],
+                jnp.where(scatter.entering[:, None], mat.absorption, 0.0),
+                sigma_a,
+            ),
+            jnp.where(
+                scatter.transmitted,
+                jnp.where(
+                    scatter.entering,
+                    mat.has_scatter * mat.scatter_coeff,
+                    0.0,
+                ),
+                sigma_s,
+            )[:, None],
+        ],
+        axis=-1,
     )
+
+    vs = vol_scatter[:, None]
     return BounceResult(
         contrib=contrib,
-        next_origin=scatter.origin,
-        next_direction=scatter.direction,
-        throughput_mult=atten * scatter.throughput_mult,
+        next_origin=jnp.where(vs, vol_pos, scatter.origin),
+        next_direction=jnp.where(vs, vol_dir, scatter.direction),
+        throughput_mult=jnp.where(
+            vs, atten, atten * scatter.throughput_mult
+        ),
         terminate=terminate,
-        was_specular=scatter.is_specular,
+        was_specular=jnp.where(vol_scatter, True, scatter.is_specular),
         rr_uniform=u[:, 3],
-        next_medium=next_medium,
+        next_medium=jnp.where(vs, medium_sigma, surf_medium),
     )

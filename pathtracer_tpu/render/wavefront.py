@@ -89,7 +89,7 @@ def render_samples_wavefront(
         sample=sample0,
         depth=jnp.zeros((capacity,), jnp.int32),
         prev_spec=jnp.zeros((capacity,), bool),
-        medium=jnp.zeros((capacity, 3), jnp.float32),
+        medium=jnp.zeros((capacity, 4), jnp.float32),
         alive=first_q < end_queue,
         next_queue=start_queue + capacity,
         accum=accum,

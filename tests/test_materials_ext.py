@@ -121,6 +121,8 @@ def test_glossy_lobe_concentration():
             emittance=jnp.zeros((n,)),
             specular_exponent=jnp.full((n,), float(specex)),
             absorption=jnp.zeros((n, 3)),
+            has_scatter=jnp.zeros((n,)),
+            scatter_coeff=jnp.zeros((n,)),
         )
 
     normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
@@ -152,6 +154,8 @@ def test_glossy_exponent_zero_is_mirror():
         emittance=jnp.zeros((n,)),
         specular_exponent=jnp.zeros((n,)),
         absorption=jnp.zeros((n, 3)),
+        has_scatter=jnp.zeros((n,)),
+        scatter_coeff=jnp.zeros((n,)),
     )
     normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
     inc = jnp.tile(jnp.array([[0.6, 0.0, -0.8]]), (n, 1))
@@ -161,3 +165,25 @@ def test_glossy_exponent_zero_is_mirror():
         np.asarray(s.direction), np.tile([[0.6, 0.0, 0.8]], (n, 1)), atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(s.throughput_mult), 1.0, atol=1e-6)
+
+
+def test_volumetric_scattering_changes_transport():
+    """SCATTER/RSCTCOEFF: a milky (scattering) glass sphere redistributes
+    light diffusely; the render stays finite and differs from clear glass,
+    and vacuum-only paths are untouched."""
+    milky = BASE.replace("SCATTER 0\nABSCOEFF {abs}", "SCATTER 1\nABSCOEFF {abs}")
+    milky = milky.replace("RSCTCOEFF 0\nEMITTANCE 0\n\nMATERIAL 2", "RSCTCOEFF 2.5\nEMITTANCE 0\n\nMATERIAL 2")
+    desc_clear = parse_scene_text(BASE.format(abs="0 0 0"))
+    desc_milky = parse_scene_text(milky.format(abs="0 0 0"))
+    assert desc_milky.materials["has_scatter"][1] == 1.0
+    assert desc_milky.materials["reduced_scatter_coefficient"][1] == 2.5
+    cfg = RenderConfig(max_depth=8, iters_per_launch=16)
+    _, a_clear, _ = render(desc_clear.scene_for_frame(0), 16, cfg)
+    _, a_milky, _ = render(desc_milky.scene_for_frame(0), 16, cfg)
+    a_clear = np.asarray(a_clear).reshape(24, 24, 3) / 16.0
+    a_milky = np.asarray(a_milky).reshape(24, 24, 3) / 16.0
+    assert np.isfinite(a_milky).all()
+    # the sphere interior looks different under scattering
+    assert np.abs(a_milky[10:14, 10:14] - a_clear[10:14, 10:14]).mean() > 0.01
+    # floor corner (never intersects the sphere) identical
+    np.testing.assert_allclose(a_milky[22, 2], a_clear[22, 2], atol=1e-5)

@@ -110,12 +110,14 @@ SCALE 1 1 1
         parse_scene_text(extra)
 
 
-def test_comments_and_mesh_type():
-    txt = MINI.replace("sphere", "models/bunny.obj  // a mesh")
-    d = parse_scene_text(txt)
+def test_comments_and_mesh_type(tmp_path):
+    (tmp_path / "bunny.obj").write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    txt = MINI.replace("sphere", "bunny.obj  // a mesh")
+    d = parse_scene_text(txt, scene_dir=str(tmp_path))
     from pathtracer_tpu.scene.structs import MESH
 
     assert d.geom_type[0] == MESH
+    assert d.mesh_tris[0].shape == (1, 3, 3)
 
 
 def test_aperture_focal_extension():
