@@ -58,6 +58,11 @@ def build_argparser():
     p.add_argument("--checkpoint", default=None, help="checkpoint file to resume from / write")
     p.add_argument("--all-frames", action="store_true", help="render every animation frame")
     p.add_argument(
+        "--motion-blur",
+        action="store_true",
+        help="render the shutter interval [frame, frame+1] with motion blur",
+    )
+    p.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. cpu) before first device use",
@@ -123,15 +128,23 @@ def main(argv=None):
             last["t"], last["spp"] = now, done
             print(f"  {done}/{start_it + (spp - start_it)} spp  ({rate:.1f} Mpaths/s)")
 
-        img, accum, stats = render(
-            scene,
-            spp - start_it,
-            cfg,
-            base_key=jax.random.PRNGKey(cfg.seed),
-            accum=accum,
-            start_iteration=start_it,
-            progress_fn=progress,
-        )
+        if args.motion_blur:
+            from pathtracer_tpu.render.motion import render_motion
+
+            img, accum, stats = render_motion(
+                desc, frame, spp - start_it, cfg,
+                base_key=jax.random.PRNGKey(cfg.seed), progress_fn=progress,
+            )
+        else:
+            img, accum, stats = render(
+                scene,
+                spp - start_it,
+                cfg,
+                base_key=jax.random.PRNGKey(cfg.seed),
+                accum=accum,
+                start_iteration=start_it,
+                progress_fn=progress,
+            )
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         out = _out_path(args, desc, frame)
