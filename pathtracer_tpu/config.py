@@ -26,3 +26,4 @@ class RenderConfig:
     accum_dtype: str = "float32"  # HDR sum accumulator dtype
     compute_dtype: str = "float32"
     seed: int = 0
+    fast_rng: bool = True  # murmur-counter RNG vs threefry fold_in chain

@@ -47,6 +47,7 @@ def generate_camera_rays(
     key: jax.Array,
     jitter: bool = True,
     per_ray_keys: jax.Array | None = None,
+    per_ray_uniforms: jax.Array | None = None,
 ) -> Rays:
     """Generate one primary ray per entry of ``pixel_index``.
 
@@ -65,7 +66,10 @@ def generate_camera_rays(
     x = (pixel_index % w).astype(jnp.float32)
     y = (pixel_index // w).astype(jnp.float32)
 
-    if per_ray_keys is not None:
+    if per_ray_uniforms is not None:
+        jxy = per_ray_uniforms[:, 0:2] - 0.5
+        lens_u = per_ray_uniforms[:, 2:4]
+    elif per_ray_keys is not None:
         u4 = jax.vmap(lambda k: jax.random.uniform(k, (4,)))(per_ray_keys)
         jxy = u4[:, 0:2] - 0.5
         lens_u = u4[:, 2:4]

@@ -30,3 +30,53 @@ def stream_key(base_key, iteration, bounce=0, stream=0) -> jax.Array:
     k = jax.random.fold_in(base_key, iteration)
     k = jax.random.fold_in(k, bounce)
     return jax.random.fold_in(k, stream)
+
+
+# ---------------------------------------------------------------------------
+# Fast counter-hash RNG (cfg.fast_rng)
+# ---------------------------------------------------------------------------
+# Threefry is gold-standard but costs ~8 block ciphers per lane per bounce
+# in the per-sample keying scheme.  Rendering needs far less: the reference
+# seeds thrust from a Wang-style integer hash (intersections.h:26-34).
+# This is the same idea done properly: a murmur3/splitmix-quality avalanche
+# finalizer over the (seed, sample, depth, slot) counter lattice — still a
+# pure function of those counters, so every determinism/sharding/resume
+# contract is preserved.
+
+import jax.numpy as jnp
+
+
+def _avalanche(x: jax.Array) -> jax.Array:
+    """murmur3 fmix32 finalizer (full avalanche) on uint32."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def key_to_seed(base_key: jax.Array) -> jax.Array:
+    """Collapse a threefry key to a uint32 seed for the fast hash."""
+    k = base_key.astype(jnp.uint32).reshape(-1)
+    return _avalanche(k[0] * jnp.uint32(0x9E3779B9) ^ k[-1])
+
+
+CAMERA_STREAM = 0x10000  # depth slot reserved for camera/lens draws
+
+
+def hash_uniforms(seed_u32, sample_idx, depth, n: int) -> jax.Array:
+    """[N, n] uniforms in [0, 1): a pure function of
+    (seed, sample_idx, depth, slot) — the fast-path replacement for the
+    fold_in/threefry chain in bounce_uniforms."""
+    s = sample_idx.astype(jnp.uint32)
+    d = jnp.broadcast_to(jnp.asarray(depth), sample_idx.shape).astype(jnp.uint32)
+    base = _avalanche(
+        seed_u32
+        ^ (s * jnp.uint32(0x85EBCA6B))
+        ^ ((d + jnp.uint32(1)) * jnp.uint32(0xC2B2AE35))
+    )
+    slots = jax.lax.iota(jnp.uint32, n)[None, :] * jnp.uint32(0x27D4EB2F)
+    bits = _avalanche(base[:, None] ^ slots)
+    # 24-bit mantissa -> exact float32 uniforms in [0, 1)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))

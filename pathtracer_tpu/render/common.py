@@ -34,14 +34,28 @@ from pathtracer_tpu.ops.lights import sample_lights
 from pathtracer_tpu.scene.structs import Rays, Scene, pytree_dataclass
 
 
-def bounce_uniforms(base_key, sample_idx, depth):
+def bounce_uniforms(base_key, sample_idx, depth, fast_rng: bool = True):
     """[N, 11] uniforms, a pure function of (base_key, sample, depth) —
     the RNG contract that makes engines and shardings agree exactly."""
+    if fast_rng:
+        from pathtracer_tpu.ops.rng import hash_uniforms, key_to_seed
+
+        return hash_uniforms(key_to_seed(base_key), sample_idx, depth, 11)
     return jax.vmap(
         lambda s, d: jax.random.uniform(
             jax.random.fold_in(jax.random.fold_in(base_key, s), d + 1), (11,)
         )
     )(sample_idx, jnp.broadcast_to(depth, sample_idx.shape))
+
+
+def camera_uniforms(base_key, sample_idx, fast_rng: bool = True):
+    """[N, 4] camera jitter + lens uniforms per global sample."""
+    if fast_rng:
+        from pathtracer_tpu.ops.rng import CAMERA_STREAM, hash_uniforms, key_to_seed
+
+        return hash_uniforms(key_to_seed(base_key), sample_idx, CAMERA_STREAM, 4)
+    keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(sample_idx)
+    return jax.vmap(lambda k: jax.random.uniform(k, (4,)))(keys)
 
 
 @pytree_dataclass
@@ -86,7 +100,7 @@ def shade_bounce(
     sigma_a = medium_sigma[:, 0:3]
     sigma_s = medium_sigma[:, 3]
 
-    u = bounce_uniforms(base_key, sample_idx, depth)
+    u = bounce_uniforms(base_key, sample_idx, depth, cfg.fast_rng)
 
     # ---- volumetric free path: distance to the next scatter event;
     # effectively infinite in non-scattering media

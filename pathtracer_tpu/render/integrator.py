@@ -41,9 +41,11 @@ def render_sample(
     wavefront engine)."""
     n_global = n_global_pixels if n_global_pixels is not None else pixel_index.shape[0]
     sample_idx = iteration * n_global + pixel_index
-    keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(sample_idx)
+    from pathtracer_tpu.render.common import camera_uniforms
+
+    u4 = camera_uniforms(base_key, sample_idx, cfg.fast_rng)
     rays = generate_camera_rays(
-        scene.camera, pixel_index, None, jitter=cfg.jitter, per_ray_keys=keys
+        scene.camera, pixel_index, None, jitter=cfg.jitter, per_ray_uniforms=u4
     )
     from pathtracer_tpu.render.megakernel import trace_paths
 

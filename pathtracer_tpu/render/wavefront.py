@@ -71,9 +71,11 @@ def render_samples_wavefront(
         local_pix = (queue_idx % n_local).astype(jnp.int32)
         global_pix = pixel_offset + pixel_stride * local_pix
         global_sample = iteration * n_global + global_pix
-        keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(global_sample)
+        from pathtracer_tpu.render.common import camera_uniforms
+
+        u4 = camera_uniforms(base_key, global_sample, cfg.fast_rng)
         rays = generate_camera_rays(
-            scene.camera, global_pix, None, jitter=cfg.jitter, per_ray_keys=keys
+            scene.camera, global_pix, None, jitter=cfg.jitter, per_ray_uniforms=u4
         )
         return rays, local_pix, global_sample
 
