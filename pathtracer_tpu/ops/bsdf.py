@@ -47,6 +47,11 @@ class MaterialLookup:
     absorption: jax.Array  # [N, 3] Beer-Lambert sigma_a inside the medium
     has_scatter: jax.Array  # [N] volumetric scattering flag
     scatter_coeff: jax.Array  # [N] reduced scattering sigma_s'
+    texture_type: jax.Array  # [N] 0 none / 1 checker / 2 stripes
+    texture_scale: jax.Array  # [N]
+    texture_color2: jax.Array  # [N, 3]
+    bump_scale: jax.Array  # [N]
+    bump_amp: jax.Array  # [N]
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -66,6 +71,11 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.absorption_coefficient,  # 11:14
             materials.has_scatter[:, None],  # 14
             materials.reduced_scatter_coefficient[:, None],  # 15
+            materials.texture_type[:, None],  # 16
+            materials.texture_scale[:, None],  # 17
+            materials.texture_color2,  # 18:21
+            materials.bump_scale[:, None],  # 21
+            materials.bump_amp[:, None],  # 22
         ],
         axis=-1,
     )
@@ -84,6 +94,11 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         absorption=rows[:, 11:14],
         has_scatter=rows[:, 14],
         scatter_coeff=rows[:, 15],
+        texture_type=rows[:, 16],
+        texture_scale=rows[:, 17],
+        texture_color2=rows[:, 18:21],
+        bump_scale=rows[:, 21],
+        bump_amp=rows[:, 22],
     )
 
 

@@ -45,6 +45,7 @@ class Hit:
     geom_id: jax.Array  # [N] int32 (valid only where hit)
     material_id: jax.Array  # [N] int32
     position: jax.Array  # [N, 3] world-space hit point
+    position_obj: jax.Array  # [N, 3] hit point in the winning geom's object space
     normal: jax.Array  # [N, 3] world-space unit normal
 
 
@@ -251,5 +252,6 @@ def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -
         geom_id=geom_id,
         material_id=material_id,
         position=p_world,
+        position_obj=p_obj,
         normal=n_world,
     )

@@ -95,6 +95,48 @@ def shade_bounce(
     mat = gather_materials(scene.materials, hit.material_id)
     emissive = mat.emittance > 0.0
 
+    # ---- procedural solid texture (elective): checker / stripes evaluated
+    # in the hit geom's object space, modulating the diffuse albedo
+    import dataclasses as _dc
+
+    cells = jnp.floor(hit.position_obj * mat.texture_scale[:, None])
+    checker = jnp.mod(cells[:, 0] + cells[:, 1] + cells[:, 2], 2.0)
+    stripes = jnp.mod(cells[:, 0], 2.0)
+    pattern = jnp.where(mat.texture_type > 1.5, stripes, checker)
+    textured = (mat.texture_type > 0.5) & (pattern > 0.5)
+    albedo = jnp.where(textured[:, None], mat.texture_color2, mat.color)
+    mat = _dc.replace(mat, color=albedo)
+
+    # ---- procedural bump mapping (elective): tangential sinusoidal
+    # perturbation of the shading normal, frequency/amplitude per material
+    bump_on = mat.bump_scale > 0.0
+    if True:
+        n0 = hit.normal
+        ax = jnp.abs(n0)
+        use_x = ax[:, 0] < 0.577
+        use_y = (~use_x) & (ax[:, 1] < 0.577)
+        not_n = jnp.stack(
+            [
+                jnp.where(use_x, 1.0, 0.0),
+                jnp.where(use_y, 1.0, 0.0),
+                jnp.where(use_x | use_y, 0.0, 1.0),
+            ],
+            axis=-1,
+        )
+        t1 = jnp.cross(n0, not_n)
+        t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-12)
+        t2 = jnp.cross(n0, t1)
+        ph1 = jnp.sum(hit.position_obj * jnp.asarray([12.9898, 78.233, 37.719]), -1)
+        ph2 = jnp.sum(hit.position_obj * jnp.asarray([93.989, 26.651, 61.312]), -1)
+        amp = jnp.where(bump_on, mat.bump_amp, 0.0)
+        offset = (
+            (amp * jnp.sin(mat.bump_scale * ph1))[:, None] * t1
+            + (amp * jnp.sin(mat.bump_scale * ph2))[:, None] * t2
+        )
+        n_bumped = n0 + offset
+        n_bumped = n_bumped / jnp.linalg.norm(n_bumped, axis=-1, keepdims=True).clip(1e-12)
+        hit = _dc.replace(hit, normal=jnp.where(bump_on[:, None], n_bumped, n0))
+
     if medium_sigma is None:
         medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
     sigma_a = medium_sigma[:, 0:3]

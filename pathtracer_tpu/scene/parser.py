@@ -99,6 +99,25 @@ def parse_scene_text(
                 field, width = _MATERIAL_KEYS[key]
                 vals = [float(v) for v in ptoks[1 : 1 + width]]
                 mat[field] = vals if width == 3 else vals[0]
+            # optional extension lines (procedural texture / bump mapping)
+            while True:
+                nxt = peek()
+                if nxt is None:
+                    break
+                k = nxt[0].upper()
+                if k == "TEXTURE":
+                    advance()
+                    kind = nxt[1].lower()
+                    mat["texture_type"] = {"none": 0.0, "checker": 1.0, "stripes": 2.0}[kind]
+                    mat["texture_scale"] = float(nxt[2])
+                    if len(nxt) >= 6:
+                        mat["texture_color2"] = [float(v) for v in nxt[3:6]]
+                elif k == "BUMP":
+                    advance()
+                    mat["bump_scale"] = float(nxt[1])
+                    mat["bump_amp"] = float(nxt[2])
+                else:
+                    break
             materials.append(mat)
         elif head == "CAMERA":
             camera = _parse_camera(advance, peek, name)
@@ -128,11 +147,20 @@ def parse_scene_text(
         if obj["material"] >= len(materials):
             raise SceneParseError(f"{name}: object references missing material")
 
+    _EXT_DEFAULTS = {
+        "texture_type": 0.0,
+        "texture_scale": 1.0,
+        "texture_color2": [0.0, 0.0, 0.0],
+        "bump_scale": 0.0,
+        "bump_amp": 0.0,
+    }
+    all_fields = [f for f, _ in _MATERIAL_KEYS.values()] + list(_EXT_DEFAULTS)
     mat_soa = {
         field: np.array(
-            [m[field] for m in materials], dtype=np.float32
+            [m.get(field, _EXT_DEFAULTS.get(field, 0.0)) for m in materials],
+            dtype=np.float32,
         )
-        for field, _ in _MATERIAL_KEYS.values()
+        for field in all_fields
     }
 
     mesh_tris = tuple(
@@ -287,10 +315,11 @@ def load_scene(path: str) -> SceneDescription:
     with open(path, "r") as f:
         text = f.read()
     scene_dir = os.path.dirname(os.path.abspath(path))
+    has_ext = "TEXTURE" in text or "BUMP" in text
     try:
         from pathtracer_tpu.utils import native
 
-        if native.available():
+        if native.available() and not has_ext:
             desc = native.parse_scene_text(text, name=os.path.basename(path))
             from pathtracer_tpu.scene.structs import MESH as _MESH
 

@@ -92,6 +92,13 @@ class Materials:
     absorption_coefficient: jax.Array  # [M, 3]
     reduced_scatter_coefficient: jax.Array  # [M]
     emittance: jax.Array  # [M]
+    # procedural texture extensions (0 = none, 1 = checker, 2 = stripes);
+    # pattern evaluated in the hit geom's object space (solid texture)
+    texture_type: jax.Array  # [M]
+    texture_scale: jax.Array  # [M]
+    texture_color2: jax.Array  # [M, 3]
+    bump_scale: jax.Array  # [M] procedural bump frequency (0 = off)
+    bump_amp: jax.Array  # [M] bump strength
 
     @property
     def count(self) -> int:
@@ -239,4 +246,9 @@ def make_materials(rows: list) -> Materials:
         absorption_coefficient=col("absorption_coefficient", width=3),
         reduced_scatter_coefficient=col("reduced_scatter_coefficient"),
         emittance=col("emittance"),
+        texture_type=col("texture_type"),
+        texture_scale=col("texture_scale"),
+        texture_color2=col("texture_color2", width=3),
+        bump_scale=col("bump_scale"),
+        bump_amp=col("bump_amp"),
     )

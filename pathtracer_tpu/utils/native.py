@@ -123,7 +123,13 @@ def parse_scene_text(text: str, name: str = "<native>"):
             handle, eye.ctypes.data_as(fp), view.ctypes.data_as(fp), up.ctypes.data_as(fp)
         )
 
+        n_m = n_mat
         mat_soa = {
+            "texture_type": np.zeros(n_m, np.float32),
+            "texture_scale": np.ones(n_m, np.float32),
+            "texture_color2": np.zeros((n_m, 3), np.float32),
+            "bump_scale": np.zeros(n_m, np.float32),
+            "bump_amp": np.zeros(n_m, np.float32),
             "color": mats[:, 0:3].copy(),
             "specular_exponent": mats[:, 3].copy(),
             "specular_color": mats[:, 4:7].copy(),

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pathtracer_tpu.config import RenderConfig
 from pathtracer_tpu.render.integrator import render
@@ -123,6 +124,11 @@ def test_glossy_lobe_concentration():
             absorption=jnp.zeros((n, 3)),
             has_scatter=jnp.zeros((n,)),
             scatter_coeff=jnp.zeros((n,)),
+            texture_type=jnp.zeros((n,)),
+            texture_scale=jnp.ones((n,)),
+            texture_color2=jnp.zeros((n, 3)),
+            bump_scale=jnp.zeros((n,)),
+            bump_amp=jnp.zeros((n,)),
         )
 
     normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
@@ -156,6 +162,11 @@ def test_glossy_exponent_zero_is_mirror():
         absorption=jnp.zeros((n, 3)),
         has_scatter=jnp.zeros((n,)),
         scatter_coeff=jnp.zeros((n,)),
+        texture_type=jnp.zeros((n,)),
+        texture_scale=jnp.ones((n,)),
+        texture_color2=jnp.zeros((n, 3)),
+        bump_scale=jnp.zeros((n,)),
+        bump_amp=jnp.zeros((n,)),
     )
     normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
     inc = jnp.tile(jnp.array([[0.6, 0.0, -0.8]]), (n, 1))
@@ -187,3 +198,62 @@ def test_volumetric_scattering_changes_transport():
     assert np.abs(a_milky[10:14, 10:14] - a_clear[10:14, 10:14]).mean() > 0.01
     # floor corner (never intersects the sphere) identical
     np.testing.assert_allclose(a_milky[22, 2], a_clear[22, 2], atol=1e-5)
+
+
+def test_texture_and_bump_dsl_parsing():
+    txt = BASE.format(abs="0 0 0").replace(
+        "RGB .8 .8 .8",
+        "RGB .8 .8 .8",
+    ).replace(
+        """SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 1""",
+        """SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+TEXTURE checker 2 .1 .2 .3
+BUMP 10 .4
+
+MATERIAL 1""",
+        1,
+    )
+    d = parse_scene_text(txt)
+    assert d.materials["texture_type"][0] == 1.0
+    assert d.materials["texture_scale"][0] == 2.0
+    np.testing.assert_allclose(d.materials["texture_color2"][0], [0.1, 0.2, 0.3])
+    assert d.materials["bump_scale"][0] == 10.0
+    assert d.materials["bump_amp"][0] == pytest.approx(0.4)
+    # untextured materials keep defaults
+    assert d.materials["texture_type"][1] == 0.0
+
+
+def test_checker_texture_in_render():
+    """A checkered floor under NEE direct light shows two albedo
+    populations where the plain floor shows one."""
+    tex = BASE.format(abs="0 0 0").replace(
+        """RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 1""",
+        """RSCTCOEFF 0
+EMITTANCE 0
+TEXTURE checker 1 .05 .05 .05
+
+MATERIAL 1""",
+        1,
+    )
+    d_plain = parse_scene_text(BASE.format(abs="0 0 0"))
+    d_tex = parse_scene_text(tex)
+    cfg = RenderConfig(max_depth=2, iters_per_launch=8, jitter=False)
+    _, a_plain, _ = render(d_plain.scene_for_frame(0), 8, cfg)
+    _, a_tex, _ = render(d_tex.scene_for_frame(0), 8, cfg)
+    a_plain = np.asarray(a_plain).reshape(24, 24, 3)[20:, :, 0].ravel()
+    a_tex = np.asarray(a_tex).reshape(24, 24, 3)[20:, :, 0].ravel()
+    lit_p = a_plain[a_plain > 1e-5]
+    lit_t = a_tex[a_tex > 1e-5]
+    # textured floor: strongly bimodal => higher relative spread
+    assert np.std(lit_t) / (np.mean(lit_t) + 1e-9) > 2.0 * np.std(lit_p) / (np.mean(lit_p) + 1e-9)
