@@ -27,3 +27,6 @@ class RenderConfig:
     compute_dtype: str = "float32"
     seed: int = 0
     fast_rng: bool = True  # murmur-counter RNG vs threefry fold_in chain
+    pallas: bool | None = None  # fused Pallas intersection kernels.
+    # None = auto: on for TPU, off elsewhere.  Forward engines only — the
+    # differentiable path (render/diff.py) always uses the XLA sweep.

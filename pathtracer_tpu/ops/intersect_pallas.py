@@ -1,0 +1,346 @@
+"""Fused nearest-hit Pallas kernel — the hot op of the renderer.
+
+The reference's trace kernel loops over geoms per CUDA thread
+(``src/raytraceKernel.cu:137-148`` + ``src/intersections.h``).  The plain
+XLA path (:mod:`pathtracer_tpu.ops.intersect`) turns that into a dense
+``[N rays, G geoms]`` sweep — correct and differentiable, but it
+materializes ``[N, G, 3]`` intermediates whose minor dimension of 3 tiles
+terribly on the TPU's (8, 128) vector registers.
+
+This module is the speed-of-light version for the forward engines: one
+``pallas_call`` per wavefront that
+
+* lays rays out as **component planes** ``[rows, 128]`` — every op is a
+  full-width VPU op, nothing is padded;
+* keeps the entire per-geom loop in **VMEM/registers**: the ``[N, G]``
+  distance matrix never exists, only the running per-lane winner
+  (``best_t``, geom id, the winner's object-space ray);
+* reads the per-geom constants (inverse transform, type, material) as
+  **SMEM scalars** broadcast against the planes — the geom loop is
+  unrolled at trace time (G is static and small);
+* recovers the winner's hit frame (object/world hit point, world normal
+  via the inverse-transpose) in a second unrolled scalar-select pass, so
+  the kernel's only HBM traffic is ``6 input + 12 output`` planes.
+
+Two kernels: :func:`nearest_hit_planes` (full hit record) and
+:func:`occlusion_t_planes` (distance only — shadow rays need no frame,
+half the bandwidth).  Both are forward-only: the differentiable path
+(render/diff.py) keeps the XLA sweep, which ``jax.grad`` understands.
+
+Physics matches ops/intersect.py exactly: unit primitives in object space
+via the inverse transform (``intersections.h:73-75,168``), unnormalized
+object-space direction so ``t`` is world-space (see ops/intersect.py
+docstring), slab cube test, argmax-|coord| face normals.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_tpu.ops.intersect import BIG, T_MIN, Hit
+from pathtracer_tpu.scene.structs import CUBE, SPHERE, Geoms, Rays
+
+LANES = 128
+ROWS = 64  # sublane rows per program => 8192 rays/program instance
+
+
+def _safe_recip(x, eps=1e-12):
+    return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
+
+
+def _sphere_t_planes(ox, oy, oz, dx, dy, dz, t_min):
+    """Unit-sphere (r=0.5) nearest-positive t on component planes.
+    Same math as ops.intersect.sphere_t (intersections.h:168-204)."""
+    a = dx * dx + dy * dy + dz * dz
+    b = ox * dx + oy * dy + oz * dz
+    c = ox * ox + oy * oy + oz * oz - 0.25
+    disc = b * b - a * c
+    valid = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = _safe_recip(a)
+    t0 = (-b - sq) * inv_a
+    t1 = (-b + sq) * inv_a
+    t = jnp.where(t0 > t_min, t0, t1)
+    return jnp.where(valid & (t > t_min), t, BIG)
+
+
+def _cube_t_planes(ox, oy, oz, dx, dy, dz, t_min):
+    """Unit-cube slab test on component planes (intersections.h:78-164)."""
+    ix, iy, iz = _safe_recip(dx), _safe_recip(dy), _safe_recip(dz)
+    tlx, thx = (-0.5 - ox) * ix, (0.5 - ox) * ix
+    tly, thy = (-0.5 - oy) * iy, (0.5 - oy) * iy
+    tlz, thz = (-0.5 - oz) * iz, (0.5 - oz) * iz
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tlx, thx), jnp.minimum(tly, thy)),
+        jnp.minimum(tlz, thz),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tlx, thx), jnp.maximum(tly, thy)),
+        jnp.maximum(tlz, thz),
+    )
+    valid = (t_far >= t_near) & (t_far > t_min)
+    t = jnp.where(t_near > t_min, t_near, t_far)
+    return jnp.where(valid & (t > t_min), t, BIG)
+
+
+def _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min):
+    """Distance plane for geom ``g`` + its object-space ray planes.
+
+    ``gdata`` row layout: [m00 m01 m02 m03 m10..m13 m20..m23 type matid],
+    the first three rows of the inverse transform."""
+    m = [gdata_ref[g, k] for k in range(12)]
+    oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+    ooy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+    ooz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+    odx = m[0] * dx + m[1] * dy + m[2] * dz
+    ody = m[4] * dx + m[5] * dy + m[6] * dz
+    odz = m[8] * dx + m[9] * dy + m[10] * dz
+    gtype = gdata_ref[g, 12]
+    ts = _sphere_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
+    tc = _cube_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
+    # mesh slots (type==MESH) never hit here; merged by the wrapper
+    t = jnp.where(
+        gtype == float(SPHERE), ts, jnp.where(gtype == float(CUBE), tc, BIG)
+    )
+    return t, (oox, ooy, ooz, odx, ody, odz)
+
+
+def _nearest_hit_kernel(
+    gdata_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    t_ref, gid_ref, mid_ref,
+    px_ref, py_ref, pz_ref,
+    pox_ref, poy_ref, poz_ref,
+    nx_ref, ny_ref, nz_ref,
+    *, n_geoms: int, t_min: float,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    best_t = jnp.full(ox.shape, BIG, jnp.float32)
+    gid = jnp.zeros(ox.shape, jnp.int32)
+    mid = jnp.zeros(ox.shape, jnp.int32)
+    is_sphere = jnp.zeros(ox.shape, jnp.float32)  # float flag (Mosaic: no i1 vectors)
+    w = [jnp.zeros(ox.shape, jnp.float32) for _ in range(6)]  # winner obj ray
+
+    for g in range(n_geoms):  # static unroll: the reference's geom loop
+        t_g, obj = _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min)
+        better = t_g < best_t
+        sph_flag = jnp.where(gdata_ref[g, 12] == float(SPHERE), 1.0, 0.0)
+        best_t = jnp.where(better, t_g, best_t)
+        gid = jnp.where(better, g, gid)
+        mid = jnp.where(better, gdata_ref[g, 13].astype(jnp.int32), mid)
+        is_sphere = jnp.where(better, sph_flag, is_sphere)
+        w = [jnp.where(better, o, prev) for o, prev in zip(obj, w)]
+
+    hit = best_t < BIG
+    t_safe = jnp.where(hit, best_t, 1.0)
+    # world + object hit points (object ray is affine => shared t)
+    px, py, pz = ox + t_safe * dx, oy + t_safe * dy, oz + t_safe * dz
+    pox = w[0] + t_safe * w[3]
+    poy = w[1] + t_safe * w[4]
+    poz = w[2] + t_safe * w[5]
+
+    # object-space normal: sphere = radial; cube = argmax-|coord| face
+    axx, axy, axz = jnp.abs(pox), jnp.abs(poy), jnp.abs(poz)
+    fx = (axx >= axy) & (axx >= axz)
+    fy = (~fx) & (axy >= axz)
+    fz = (~fx) & (~fy)
+    inv_len = jax.lax.rsqrt(jnp.maximum(pox**2 + poy**2 + poz**2, 1e-24))
+    sph = is_sphere > 0.5
+    nxo = jnp.where(sph, pox * inv_len, jnp.where(fx, jnp.sign(pox), 0.0))
+    nyo = jnp.where(sph, poy * inv_len, jnp.where(fy, jnp.sign(poy), 0.0))
+    nzo = jnp.where(sph, poz * inv_len, jnp.where(fz, jnp.sign(poz), 0.0))
+
+    # world normal: inverse-transpose of the winner (transform_normal),
+    # second unrolled scalar-select pass over geoms
+    nwx = jnp.zeros_like(nxo)
+    nwy = jnp.zeros_like(nxo)
+    nwz = jnp.zeros_like(nxo)
+    for g in range(n_geoms):
+        sel = gid == g
+        m = [gdata_ref[g, k] for k in range(12)]
+        nwx = jnp.where(sel, m[0] * nxo + m[4] * nyo + m[8] * nzo, nwx)
+        nwy = jnp.where(sel, m[1] * nxo + m[5] * nyo + m[9] * nzo, nwy)
+        nwz = jnp.where(sel, m[2] * nxo + m[6] * nyo + m[10] * nzo, nwz)
+    inv_n = jax.lax.rsqrt(jnp.maximum(nwx**2 + nwy**2 + nwz**2, 1e-24))
+
+    t_ref[:] = best_t
+    gid_ref[:] = gid
+    mid_ref[:] = mid
+    px_ref[:], py_ref[:], pz_ref[:] = px, py, pz
+    pox_ref[:], poy_ref[:], poz_ref[:] = pox, poy, poz
+    nx_ref[:], ny_ref[:], nz_ref[:] = nwx * inv_n, nwy * inv_n, nwz * inv_n
+
+
+def _occlusion_kernel(
+    gdata_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
+    *, n_geoms: int, t_min: float,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    best_t = jnp.full(ox.shape, BIG, jnp.float32)
+    for g in range(n_geoms):
+        t_g, _ = _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min)
+        best_t = jnp.minimum(best_t, t_g)
+    t_ref[:] = best_t
+
+
+def _pack_gdata(geoms: Geoms) -> jax.Array:
+    """[G, 14] fp32 per-geom constants: inv rows 0..2, type, material_id."""
+    inv12 = geoms.inv_transform.reshape(geoms.count, 16)[:, :12]
+    return jnp.concatenate(
+        [
+            inv12,
+            geoms.type.astype(jnp.float32)[:, None],
+            geoms.material_id.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def _planes(rays: Rays):
+    """[N,3] SoA -> 6 padded component planes [R, 128] + (N, Rpad)."""
+    n = rays.origin.shape[0]
+    tile = ROWS * LANES
+    npad = -(-n // tile) * tile
+    o = rays.origin
+    d = rays.direction
+    if npad != n:
+        pad = npad - n
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
+        # padded lanes get a non-degenerate direction so no kernel op traps
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
+    comps = [o[:, i].reshape(-1, LANES) for i in range(3)] + [
+        d[:, i].reshape(-1, LANES) for i in range(3)
+    ]
+    return comps, n, npad // LANES
+
+
+def _specs(rows: int):
+    grid = (rows // ROWS,)
+    plane = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return grid, gspec, plane
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_hit_planes(rays: Rays, geoms: Geoms, interpret: bool = False):
+    """Fused nearest-hit over all analytic geoms.  Returns a :class:`Hit`
+    (mesh slots report miss; merge meshes in the caller)."""
+    comps, n, rows = _planes(rays)
+    gdata = _pack_gdata(geoms)
+    grid, gspec, plane = _specs(rows)
+
+    shp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    ishp = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(
+            _nearest_hit_kernel, n_geoms=geoms.count, t_min=T_MIN
+        ),
+        grid=grid,
+        in_specs=[gspec] + [plane] * 6,
+        out_specs=tuple([plane] * 12),
+        out_shape=(shp, ishp, ishp) + (shp,) * 9,
+        interpret=interpret,
+    )(gdata, *comps)
+
+    def unp(x):
+        return x.reshape(-1)[:n]
+
+    t, gid, mid = unp(outs[0]), unp(outs[1]), unp(outs[2])
+    p = jnp.stack([unp(outs[3 + i]) for i in range(3)], axis=-1)
+    p_obj = jnp.stack([unp(outs[6 + i]) for i in range(3)], axis=-1)
+    nrm = jnp.stack([unp(outs[9 + i]) for i in range(3)], axis=-1)
+    return Hit(
+        t=t,
+        hit=t < BIG,
+        geom_id=gid,
+        material_id=mid,
+        position=p,
+        position_obj=p_obj,
+        normal=nrm,
+    )
+
+
+def intersect_scene_pallas(
+    rays: Rays, geoms: Geoms, meshes: tuple = (), interpret: bool = False
+) -> Hit:
+    """Drop-in replacement for :func:`ops.intersect.intersect_scene` on the
+    forward path: fused analytic kernel + XLA triangle-mesh merge."""
+    hit = nearest_hit_planes(rays, geoms, interpret=interpret)
+    if not meshes:
+        return hit
+    from pathtracer_tpu.ops.intersect import mesh_t_and_normal
+    from pathtracer_tpu.ops.transforms import (
+        transform_dir,
+        transform_normal,
+        transform_point,
+    )
+
+    t, gid, mid = hit.t, hit.geom_id, hit.material_id
+    pos, pobj, nrm = hit.position, hit.position_obj, hit.normal
+    for m in meshes:
+        gi = m.geom_index
+        inv = geoms.inv_transform[gi]
+        o_obj = transform_point(inv, rays.origin)
+        d_obj = transform_dir(inv, rays.direction)
+        mt, mn = mesh_t_and_normal(o_obj, d_obj, m.tri_verts)
+        better = mt < t
+        t_safe = jnp.where(better, mt, 1.0)
+        mp = rays.origin + t_safe[:, None] * rays.direction
+        mpo = o_obj + t_safe[:, None] * d_obj
+        mn_unit = mn / jnp.linalg.norm(mn, axis=-1, keepdims=True).clip(1e-12)
+        mnw = transform_normal(inv, mn_unit)
+        b = better[:, None]
+        t = jnp.where(better, mt, t)
+        gid = jnp.where(better, gi, gid)
+        mid = jnp.where(better, geoms.material_id[gi], mid)
+        pos = jnp.where(b, mp, pos)
+        pobj = jnp.where(b, mpo, pobj)
+        nrm = jnp.where(b, mnw, nrm)
+    return Hit(
+        t=t, hit=t < BIG, geom_id=gid, material_id=mid,
+        position=pos, position_obj=pobj, normal=nrm,
+    )
+
+
+def occlusion_scene_pallas(
+    rays: Rays, geoms: Geoms, meshes: tuple = (), interpret: bool = False
+) -> jax.Array:
+    """Nearest ``t`` per shadow ray (BIG = unoccluded), meshes included."""
+    t = occlusion_t_planes(rays, geoms, interpret=interpret)
+    if meshes:
+        from pathtracer_tpu.ops.intersect import mesh_t_and_normal
+        from pathtracer_tpu.ops.transforms import transform_dir, transform_point
+
+        for m in meshes:
+            inv = geoms.inv_transform[m.geom_index]
+            o_obj = transform_point(inv, rays.origin)
+            d_obj = transform_dir(inv, rays.direction)
+            mt, _ = mesh_t_and_normal(o_obj, d_obj, m.tri_verts)
+            t = jnp.minimum(t, mt)
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occlusion_t_planes(rays: Rays, geoms: Geoms, interpret: bool = False):
+    """Distance-only sweep for shadow rays: nearest analytic-geom ``t``
+    per ray (BIG = clear)."""
+    comps, n, rows = _planes(rays)
+    gdata = _pack_gdata(geoms)
+    grid, gspec, plane = _specs(rows)
+    out = pl.pallas_call(
+        functools.partial(_occlusion_kernel, n_geoms=geoms.count, t_min=T_MIN),
+        grid=grid,
+        in_specs=[gspec] + [plane] * 6,
+        out_specs=plane,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(gdata, *comps)
+    return out.reshape(-1)[:n]

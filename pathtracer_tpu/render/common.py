@@ -91,7 +91,21 @@ def shade_bounce(
     Volumetric scattering: an exponential free path ~ sigma_s is sampled
     per segment; if it lands before the surface, the lane undergoes an
     isotropic in-medium scatter event instead of a surface interaction."""
-    hit = intersect_scene(rays, scene.geoms, scene.meshes)
+    use_pallas = cfg.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from pathtracer_tpu.ops.intersect_pallas import (
+            intersect_scene_pallas,
+            occlusion_scene_pallas,
+        )
+
+        interp = jax.default_backend() != "tpu"
+        hit = intersect_scene_pallas(
+            rays, scene.geoms, scene.meshes, interpret=interp
+        )
+    else:
+        hit = intersect_scene(rays, scene.geoms, scene.meshes)
     mat = gather_materials(scene.materials, hit.material_id)
     emissive = mat.emittance > 0.0
 
@@ -190,10 +204,17 @@ def shade_bounce(
         diffuse_lane = hit.hit & (~emissive) & (~scatter.is_specular) & (~vol_scatter)
         candidate = diffuse_lane & ls.valid & (cos_x > 0) & (cos_y > 0)
 
-        # shadow ray (the second intersect sweep of the bounce)
+        # shadow ray (the second intersect sweep of the bounce); with
+        # pallas, a distance-only occlusion kernel (no hit frame needed)
         shadow = Rays(origin=x, direction=wi)
-        occ = intersect_scene(shadow, scene.geoms, scene.meshes)
-        visible = (~occ.hit) | (occ.t >= dist - 4.0 * RAY_BIAS)
+        if use_pallas:
+            occ_t = occlusion_scene_pallas(
+                shadow, scene.geoms, scene.meshes, interpret=interp
+            )
+            visible = occ_t >= dist - 4.0 * RAY_BIAS
+        else:
+            occ = intersect_scene(shadow, scene.geoms, scene.meshes)
+            visible = (~occ.hit) | (occ.t >= dist - 4.0 * RAY_BIAS)
 
         g = cos_x * cos_y / jnp.maximum(dist2, 1e-12)
         nee = (

@@ -141,6 +141,9 @@ def render_linear(
     the loss if display-space loss is really wanted)."""
     from pathtracer_tpu.render.integrator import render_sample
 
+    # the fused Pallas intersection kernels are forward-only; gradients
+    # always go through the XLA sweep (ops/intersect.py)
+    cfg = dataclasses.replace(cfg, pallas=False)
     scene = build_scene(params, static)
     if pixel_index is None:
         w, h = static.resolution

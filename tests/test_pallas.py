@@ -1,0 +1,102 @@
+"""Pallas fused intersection kernels vs the XLA sweep (interpret mode on
+the CPU backend — kernel logic check per SURVEY.md §5 "Pallas
+interpreter-mode checks").  The same kernels compile via Mosaic on TPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.ops.intersect import intersect_scene
+from pathtracer_tpu.ops.intersect_pallas import (
+    intersect_scene_pallas,
+    occlusion_scene_pallas,
+)
+from pathtracer_tpu.scene.structs import Rays
+
+
+def _random_rays(n, seed=0, spread=2.0):
+    o = jax.random.normal(jax.random.PRNGKey(seed), (n, 3)) * spread
+    d = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays(origin=o, direction=d)
+
+
+@pytest.mark.parametrize("n", [37, 1024])  # non-multiple-of-tile + aligned
+def test_nearest_hit_matches_xla_sweep(cornell_scene, n):
+    rays = _random_rays(n)
+    ref = intersect_scene(rays, cornell_scene.geoms, cornell_scene.meshes)
+    out = intersect_scene_pallas(
+        rays, cornell_scene.geoms, cornell_scene.meshes, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[m], np.asarray(out.t)[m], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.geom_id)[m], np.asarray(out.geom_id)[m]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.material_id)[m], np.asarray(out.material_id)[m]
+    )
+    for f in ("position", "position_obj", "normal"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f))[m],
+            np.asarray(getattr(out, f))[m],
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
+def test_occlusion_matches_nearest_t(cornell_scene):
+    rays = _random_rays(513, seed=7)
+    ref = intersect_scene(rays, cornell_scene.geoms, cornell_scene.meshes)
+    t = occlusion_scene_pallas(
+        rays, cornell_scene.geoms, cornell_scene.meshes, interpret=True
+    )
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[m], np.asarray(t)[m], rtol=1e-5, atol=1e-5
+    )
+    assert np.all(np.asarray(t)[~m] > 1e29)
+
+
+def test_mesh_scene_pallas_merge():
+    """Pallas analytic kernel + mesh merge == XLA path on a mesh scene."""
+    import os
+
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scenes", "mesh_demo.txt")
+    scene = load_scene(path).scene_for_frame(0)
+    rays = _random_rays(256, seed=3, spread=4.0)
+    ref = intersect_scene(rays, scene.geoms, scene.meshes)
+    out = intersect_scene_pallas(rays, scene.geoms, scene.meshes, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[m], np.asarray(out.t)[m], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.geom_id)[m], np.asarray(out.geom_id)[m]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.normal)[m], np.asarray(out.normal)[m], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_full_render_pallas_vs_xla(cornell_small):
+    """End-to-end: a small wavefront render with cfg.pallas on (interpret)
+    equals the XLA-sweep render to fp32 accumulation tolerance."""
+    from pathtracer_tpu.render.integrator import render
+
+    base = RenderConfig(wavefront=True, nee=True, max_depth=4, iters_per_launch=2)
+    img_ref, acc_ref, _ = render(cornell_small, 2, dataclasses.replace(base, pallas=False))
+    img_pal, acc_pal, _ = render(cornell_small, 2, dataclasses.replace(base, pallas=True))
+    np.testing.assert_allclose(
+        np.asarray(acc_ref), np.asarray(acc_pal), rtol=1e-3, atol=1e-3
+    )
