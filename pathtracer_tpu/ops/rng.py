@@ -46,12 +46,24 @@ def stream_key(base_key, iteration, bounce=0, stream=0) -> jax.Array:
 import jax.numpy as jnp
 
 
+def _u32mul(x: jax.Array, c: int) -> jax.Array:
+    """uint32 multiply-mod-2^32 via int32.
+
+    The TPU VPU has a native 32-bit *signed* multiplier; XLA emulates the
+    unsigned one ~11x slower (measured 0.47ms vs 0.043ms per 256Ki-lane
+    op).  Two's-complement multiplication is bitwise identical mod 2^32,
+    so bitcast -> imul -> bitcast is exact."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    ci = jnp.int32(c - (1 << 32) if c >= (1 << 31) else c)
+    return jax.lax.bitcast_convert_type(xi * ci, jnp.uint32)
+
+
 def _avalanche(x: jax.Array) -> jax.Array:
     """murmur3 fmix32 finalizer (full avalanche) on uint32."""
     x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
+    x = _u32mul(x, 0x7FEB352D)
     x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
+    x = _u32mul(x, 0x846CA68B)
     x = x ^ (x >> 16)
     return x
 
@@ -59,7 +71,7 @@ def _avalanche(x: jax.Array) -> jax.Array:
 def key_to_seed(base_key: jax.Array) -> jax.Array:
     """Collapse a threefry key to a uint32 seed for the fast hash."""
     k = base_key.astype(jnp.uint32).reshape(-1)
-    return _avalanche(k[0] * jnp.uint32(0x9E3779B9) ^ k[-1])
+    return _avalanche(_u32mul(k[0], 0x9E3779B9) ^ k[-1])
 
 
 CAMERA_STREAM = 0x10000  # depth slot reserved for camera/lens draws
@@ -73,10 +85,10 @@ def hash_uniforms(seed_u32, sample_idx, depth, n: int) -> jax.Array:
     d = jnp.broadcast_to(jnp.asarray(depth), sample_idx.shape).astype(jnp.uint32)
     base = _avalanche(
         seed_u32
-        ^ (s * jnp.uint32(0x85EBCA6B))
-        ^ ((d + jnp.uint32(1)) * jnp.uint32(0xC2B2AE35))
+        ^ _u32mul(s, 0x85EBCA6B)
+        ^ _u32mul(d + jnp.uint32(1), 0xC2B2AE35)
     )
-    slots = jax.lax.iota(jnp.uint32, n)[None, :] * jnp.uint32(0x27D4EB2F)
+    slots = _u32mul(jax.lax.iota(jnp.uint32, n)[None, :], 0x27D4EB2F)
     bits = _avalanche(base[:, None] ^ slots)
     # 24-bit mantissa -> exact float32 uniforms in [0, 1)
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))

@@ -82,6 +82,10 @@ def render_samples_wavefront(
     first_q = start_queue + jax.lax.iota(jnp.int32, capacity)
     rays0, pixel0, sample0 = spawn(first_q)
 
+    # accumulator carried as 3 channel PLANES: XLA gives a [P, 3] scatter
+    # operand a column-major tiled layout whose scatter-add lowering is
+    # ~250x slower (serialized) on TPU; three 1-D scatters into [P] planes
+    # keep the fast row-major path (measured 10.6ms -> 0.06ms per step)
     state = dict(
         origin=rays0.origin,
         direction=rays0.direction,
@@ -94,7 +98,9 @@ def render_samples_wavefront(
         medium=jnp.zeros((capacity, 4), jnp.float32),
         alive=first_q < end_queue,
         next_queue=start_queue + capacity,
-        accum=accum,
+        accum_r=accum[:, 0],
+        accum_g=accum[:, 1],
+        accum_b=accum[:, 2],
         rays=jnp.float32(0.0),
     )
 
@@ -132,9 +138,10 @@ def render_samples_wavefront(
 
         # ---- terminated lanes: flush radiance, then refill ("compaction")
         dead = alive & (~survive)
-        accum = st["accum"].at[st["pixel"]].add(
-            jnp.where(dead[:, None], radiance, 0.0), mode="drop"
-        )
+        flush = jnp.where(dead[:, None], radiance, 0.0)
+        accum_r = st["accum_r"].at[st["pixel"]].add(flush[:, 0], mode="drop")
+        accum_g = st["accum_g"].at[st["pixel"]].add(flush[:, 1], mode="drop")
+        accum_b = st["accum_b"].at[st["pixel"]].add(flush[:, 2], mode="drop")
 
         # rank of each dead lane among dead lanes -> next queue index
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
@@ -160,9 +167,14 @@ def render_samples_wavefront(
             medium=lane_select(jnp.zeros_like(res.next_medium), res.next_medium),
             alive=can_spawn | survive,
             next_queue=st["next_queue"] + n_spawned,
-            accum=accum,
+            accum_r=accum_r,
+            accum_g=accum_g,
+            accum_b=accum_b,
             rays=nrays,
         )
 
     final = jax.lax.while_loop(cond, step, state)
-    return final["accum"], final["rays"]
+    accum_out = jnp.stack(
+        [final["accum_r"], final["accum_g"], final["accum_b"]], axis=-1
+    )
+    return accum_out, final["rays"]
