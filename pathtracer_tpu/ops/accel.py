@@ -1,0 +1,156 @@
+"""Triangle-mesh acceleration structure (the KD-tree elective, TPU-style).
+
+The reference lists "OBJ meshes + KD-tree acceleration" among its elective
+features (README.md:58-70) but ships no implementation (the MESH trace
+branch is empty, raytraceKernel.cu:144-145).  A pointer-chasing KD-tree is
+the wrong shape for a TPU: per-ray divergent traversal serializes the VPU
+and dynamic stacks defeat XLA.  The TPU-native equivalent built here is a
+**Morton-ordered chunked LBVH**:
+
+* **Build (host, numpy)**: triangles are sorted by the Morton code of
+  their centroid (the linear-BVH construction order), grouped into leaf
+  chunks of 128 (one VPU lane-width of triangles), and each chunk gets an
+  AABB; a root AABB covers the mesh.  Morton order makes chunk AABBs
+  spatially tight — the whole "tree" is two levels: root -> 128-triangle
+  leaves.
+* **Traversal (device)**: branch granularity is (wavefront x chunk), not
+  per ray — the grain XLA/TPU can actually branch on.  A root-AABB slab
+  test against the whole wavefront short-circuits the mesh entirely
+  (``lax.cond``) when no ray can hit it — the common case for shadow rays
+  and GI bounces in scenes where the mesh is a small object.  Inside, a
+  ``lax.scan`` over chunks tests each chunk AABB against all rays and
+  ``lax.cond``-skips the 128 Moeller-Trumbore tests when no ray's current
+  best-t reaches the chunk.
+
+Same results as the dense sweep (duplicate-padded chunks cannot alter a
+nearest-hit; Morton reordering only permutes exact ties), verified in
+tests/test_accel.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_tpu.scene.structs import pytree_dataclass
+
+BIG = 1e30
+
+
+@pytree_dataclass(meta_fields=("n_tris",))
+class MeshAccel:
+    """Two-level chunked LBVH over one mesh's object-space triangles."""
+
+    n_tris: int  # static: real (unpadded) triangle count
+    chunks: jax.Array  # [C, 128, 3, 3] Morton-sorted, last-tri padded
+    lo: jax.Array  # [C, 3] chunk AABB min
+    hi: jax.Array  # [C, 3] chunk AABB max
+    root_lo: jax.Array  # [3]
+    root_hi: jax.Array  # [3]
+
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit x/y/z -> 30-bit Morton codes. q: [T, 3] uint32."""
+
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def build_mesh_accel(tri_verts: np.ndarray, chunk: int = 128) -> MeshAccel:
+    """Host-side LBVH build: Morton sort, chunk, AABB. Deterministic."""
+    tris = np.asarray(tri_verts, np.float32)
+    t_count = tris.shape[0]
+    cent = tris.mean(axis=1)
+    mn = tris.min(axis=(0, 1))
+    mx = tris.max(axis=(0, 1))
+    ext = np.maximum(mx - mn, 1e-12)
+    q = np.clip(((cent - mn) / ext) * 1023.0, 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable")
+    tris = tris[order]
+
+    pad = (-t_count) % chunk
+    if pad:
+        # pad with copies of the last triangle: duplicates cannot change a
+        # nearest-hit and keep the final chunk's AABB tight
+        tris = np.concatenate([tris, np.repeat(tris[-1:], pad, axis=0)], axis=0)
+    ch = tris.reshape(-1, chunk, 3, 3)
+    lo = ch.min(axis=(1, 2))
+    hi = ch.max(axis=(1, 2))
+    return MeshAccel(
+        n_tris=t_count,
+        chunks=jnp.asarray(ch),
+        lo=jnp.asarray(lo),
+        hi=jnp.asarray(hi),
+        root_lo=jnp.asarray(tris.min(axis=(0, 1))),
+        root_hi=jnp.asarray(tris.max(axis=(0, 1))),
+    )
+
+
+def _safe_recip(x, eps=1e-12):
+    return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
+
+
+def _aabb_hits_any(o_obj, inv_d, lo, hi, best_t, t_min):
+    """True iff any ray's [t_min, best_t] interval crosses the AABB."""
+    t0 = (lo[None, :] - o_obj) * inv_d
+    t1 = (hi[None, :] - o_obj) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tf >= tn) & (tf > t_min) & (tn < best_t)
+    return jnp.any(hit)
+
+
+def _mt_chunk(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min):
+    """One 128-triangle Moeller-Trumbore pass updating (best_t, best_n) —
+    shared component-plane implementation (ops.intersect.mt_chunk_planes)."""
+    from pathtracer_tpu.ops.intersect import mt_chunk_planes
+
+    return mt_chunk_planes(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min)
+
+
+def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4):
+    """Accelerated nearest-triangle query: ``(t [N], n_obj [N, 3])`` with
+    unnormalized face normals (BIG t = miss).  Drop-in replacement for the
+    dense sweep when a :class:`MeshAccel` is available."""
+    n = o_obj.shape[0]
+    inv_d = _safe_recip(d_obj)
+    miss = (
+        jnp.full((n,), BIG, jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+    )
+
+    def traverse(_):
+        def body(carry, xs):
+            best_t, best_n = carry
+            ch, lo, hi = xs
+            go = _aabb_hits_any(o_obj, inv_d, lo, hi, best_t, t_min)
+            carry = jax.lax.cond(
+                go,
+                lambda c: _mt_chunk(
+                    o_obj, d_obj,
+                    ch[:, 0], ch[:, 1] - ch[:, 0], ch[:, 2] - ch[:, 0],
+                    c[0], c[1], t_min,
+                ),
+                lambda c: c,
+                carry,
+            )
+            return carry, None
+
+        out, _ = jax.lax.scan(body, miss, (accel.chunks, accel.lo, accel.hi))
+        return out
+
+    root_any = _aabb_hits_any(
+        o_obj, inv_d, accel.root_lo, accel.root_hi,
+        jnp.full((n,), BIG, jnp.float32), t_min,
+    )
+    return jax.lax.cond(root_any, traverse, lambda _: miss, None)

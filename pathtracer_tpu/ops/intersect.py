@@ -141,6 +141,52 @@ def select_rows(onehot: jax.Array, table: jax.Array) -> jax.Array:
     return out.reshape((onehot.shape[0],) + table.shape[1:])
 
 
+def mt_chunk_planes(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min=T_MIN):
+    """One Moeller-Trumbore pass of ``[N rays] x [chunk tris]`` updating
+    the running nearest hit ``(best_t [N], best_n [N, 3])``.
+
+    Written as **component planes**: every intermediate is ``[N, chunk]``
+    (full-width (8,128) vector tiles).  The naive broadcastped
+    ``jnp.cross`` formulation materializes ``[N, chunk, 3]`` arrays whose
+    minor dimension of 3 pads to 128 lanes — measured ~15x slower on TPU.
+    """
+    ox, oy, oz = (o_obj[:, i, None] for i in range(3))  # [N, 1]
+    dx, dy, dz = (d_obj[:, i, None] for i in range(3))
+    v0x, v0y, v0z = (cv0[None, :, i] for i in range(3))  # [1, C]
+    e1x, e1y, e1z = (ce1[None, :, i] for i in range(3))
+    e2x, e2y, e2z = (ce2[None, :, i] for i in range(3))
+
+    # h = d x e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz  # [N, C]
+    f = _safe_div(1.0, a)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        (jnp.abs(a) > 1e-12)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    t = jnp.where(ok, t, BIG)
+    idx = jnp.argmin(t, axis=-1)  # [N]
+    t_best_chunk = jnp.min(t, axis=-1)
+    n_chunk = jnp.cross(ce1, ce2)  # [C, 3] face normals (small)
+    n_pick = n_chunk[idx]  # chunk-sized table gather
+    better = t_best_chunk < best_t
+    best_n = jnp.where(better[:, None], n_pick, best_n)
+    best_t = jnp.minimum(best_t, t_best_chunk)
+    return best_t, best_n
+
+
 def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128):
     """Nearest triangle hit for object-space rays against a mesh.
 
@@ -166,37 +212,25 @@ def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128):
     e2 = tri_chunks[:, :, 2] - tri_chunks[:, :, 0]
 
     def body(carry, tri):
-        best_t, best_n = carry
         cv0, ce1, ce2 = tri  # [chunk, 3] each
-        # broadcast [N, 1, 3] x [1, chunk, 3]
-        d = d_obj[:, None, :]
-        h = jnp.cross(d, ce2[None, :, :])
-        a = jnp.sum(ce1[None, :, :] * h, axis=-1)  # [N, chunk]
-        f = _safe_div(1.0, a)
-        svec = o_obj[:, None, :] - cv0[None, :, :]
-        u = f * jnp.sum(svec * h, axis=-1)
-        q = jnp.cross(svec, ce1[None, :, :])
-        v = f * jnp.sum(d * q, axis=-1)
-        t = f * jnp.sum(ce2[None, :, :] * q, axis=-1)
-        ok = (
-            (jnp.abs(a) > 1e-12)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t > t_min)
-        )
-        t = jnp.where(ok, t, BIG)
-        idx = jnp.argmin(t, axis=-1)  # [N]
-        t_best_chunk = jnp.min(t, axis=-1)
-        n_chunk = jnp.cross(ce1, ce2)  # [chunk, 3] face normals
-        n_pick = n_chunk[idx]  # chunk-sized table gather (small)
-        better = t_best_chunk < best_t
-        best_n = jnp.where(better[:, None], n_pick, best_n)
-        best_t = jnp.minimum(best_t, t_best_chunk)
-        return (best_t, best_n), None
+        return mt_chunk_planes(
+            o_obj, d_obj, cv0, ce1, ce2, carry[0], carry[1], t_min
+        ), None
 
     init = (jnp.full((n,), BIG, jnp.float32), jnp.zeros((n, 3), jnp.float32))
     (best_t, best_n), _ = jax.lax.scan(body, init, (v0, e1, e2))
     return best_t, best_n
+
+
+def mesh_query(m, o_obj, d_obj, t_min=T_MIN):
+    """Nearest-triangle query for one MeshInstance: chunked-LBVH traversal
+    when the instance carries an accel (ops/accel.py), dense sweep
+    otherwise."""
+    if m.accel is not None:
+        from pathtracer_tpu.ops.accel import mesh_t_and_normal_accel
+
+        return mesh_t_and_normal_accel(o_obj, d_obj, m.accel, t_min)
+    return mesh_t_and_normal(o_obj, d_obj, m.tri_verts, t_min)
 
 
 def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> Hit:
@@ -211,7 +245,7 @@ def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -
         inv = geoms.inv_transform[gi]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, mn = mesh_t_and_normal(o_obj, d_obj, m.tri_verts, t_min)
+        mt, mn = mesh_query(m, o_obj, d_obj, t_min)
         t_all = t_all.at[:, gi].set(mt)
         mesh_normals.append((gi, mn))
 

@@ -276,7 +276,7 @@ def intersect_scene_pallas(
     hit = nearest_hit_planes(rays, geoms, interpret=interpret)
     if not meshes:
         return hit
-    from pathtracer_tpu.ops.intersect import mesh_t_and_normal
+    from pathtracer_tpu.ops.intersect import mesh_query
     from pathtracer_tpu.ops.transforms import (
         transform_dir,
         transform_normal,
@@ -290,7 +290,7 @@ def intersect_scene_pallas(
         inv = geoms.inv_transform[gi]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, mn = mesh_t_and_normal(o_obj, d_obj, m.tri_verts)
+        mt, mn = mesh_query(m, o_obj, d_obj)
         better = mt < t
         t_safe = jnp.where(better, mt, 1.0)
         mp = rays.origin + t_safe[:, None] * rays.direction
@@ -316,14 +316,14 @@ def occlusion_scene_pallas(
     """Nearest ``t`` per shadow ray (BIG = unoccluded), meshes included."""
     t = occlusion_t_planes(rays, geoms, interpret=interpret)
     if meshes:
-        from pathtracer_tpu.ops.intersect import mesh_t_and_normal
+        from pathtracer_tpu.ops.intersect import mesh_query
         from pathtracer_tpu.ops.transforms import transform_dir, transform_point
 
         for m in meshes:
             inv = geoms.inv_transform[m.geom_index]
             o_obj = transform_point(inv, rays.origin)
             d_obj = transform_dir(inv, rays.direction)
-            mt, _ = mesh_t_and_normal(o_obj, d_obj, m.tri_verts)
+            mt, _ = mesh_query(m, o_obj, d_obj)
             t = jnp.minimum(t, mt)
     return t
 

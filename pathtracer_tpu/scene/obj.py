@@ -76,3 +76,44 @@ def make_cube_obj() -> str:
     lines = [f"v {x} {y} {z}" for (x, y, z) in v]
     lines += [f"f {a} {b} {c}" for (a, b, c) in faces]
     return "\n".join(lines) + "\n"
+
+
+def make_icosphere(subdiv: int = 2, radius: float = 0.5):
+    """Subdivided icosahedron as ``[T, 3, 3]`` float32 triangles (object
+    space, radius 0.5 like the unit sphere primitive).  ``subdiv`` n gives
+    20 * 4^n triangles — used to exercise the mesh path and the chunked
+    LBVH (ops/accel.py) at realistic triangle counts."""
+    phi = (1.0 + 5.0**0.5) / 2.0
+    verts = np.array(
+        [
+            (-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+            (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+            (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1),
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    tris = verts[np.array(faces)]
+    for _ in range(subdiv):
+        a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        # re-project midpoints to the sphere
+        ab /= np.linalg.norm(ab, axis=-1, keepdims=True)
+        bc /= np.linalg.norm(bc, axis=-1, keepdims=True)
+        ca /= np.linalg.norm(ca, axis=-1, keepdims=True)
+        tris = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([ab, b, bc], 1),
+                np.stack([ca, bc, c], 1),
+                np.stack([ab, bc, ca], 1),
+            ],
+            axis=0,
+        )
+    return (tris * radius).astype(np.float32)

@@ -28,6 +28,10 @@ MESH = 2
 
 GEOM_TYPE_NAMES = {SPHERE: "sphere", CUBE: "cube", MESH: "mesh"}
 
+# meshes with at least this many triangles get a chunked-LBVH accel
+# structure (ops/accel.py); below it the dense sweep is cheaper
+ACCEL_MIN_TRIS = 256
+
 
 def pytree_dataclass(cls=None, *, meta_fields: tuple = ()):
     """Dataclass registered as a JAX pytree; ``meta_fields`` are static."""
@@ -142,6 +146,9 @@ class MeshInstance:
 
     geom_index: int  # static: which geoms[] slot this mesh occupies
     tri_verts: jax.Array  # [T, 3, 3] float32
+    # chunked-LBVH acceleration (ops/accel.py — the KD-tree elective);
+    # None = dense sweep (small meshes)
+    accel: Any = None
 
 
 @pytree_dataclass
@@ -206,8 +213,19 @@ class SceneDescription:
             **{k: jnp.asarray(v, jnp.float32) for k, v in self.materials.items()}
         )
         cam = self.camera_for_frame(frame)
+
+        def mk_mesh(g, tris):
+            accel = None
+            if len(tris) >= ACCEL_MIN_TRIS:
+                from pathtracer_tpu.ops.accel import build_mesh_accel
+
+                accel = build_mesh_accel(tris)
+            return MeshInstance(
+                geom_index=g, tri_verts=jnp.asarray(tris, jnp.float32), accel=accel
+            )
+
         meshes = tuple(
-            MeshInstance(geom_index=g, tri_verts=jnp.asarray(tris, jnp.float32))
+            mk_mesh(g, tris)
             for g, tris in enumerate(self.mesh_tris or ())
             if tris is not None
         )
