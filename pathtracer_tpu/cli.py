@@ -67,6 +67,11 @@ def build_argparser():
         default=None,
         help="force a jax platform (e.g. cpu) before first device use",
     )
+    p.add_argument(
+        "--interactive",
+        action="store_true",
+        help="interactive camera REPL (elective: WASD moves, live preview)",
+    )
     return p
 
 
@@ -95,6 +100,16 @@ def main(argv=None):
 
     from pathtracer_tpu.render.integrator import render
     from pathtracer_tpu.utils import checkpoint as ckpt
+
+    if args.interactive:
+        from pathtracer_tpu.render.interactive import interactive_loop
+
+        out = args.out or "renders/interactive.png"
+        interactive_loop(
+            desc, args.frame, cfg,
+            preview_spp=min(spp, 16), out_path=out, full_spp=spp,
+        )
+        return 0
 
     frames = range(desc.frames) if args.all_frames else [args.frame]
     for frame in frames:
