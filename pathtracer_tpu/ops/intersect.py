@@ -54,6 +54,54 @@ def _safe_div(num, den, eps=1e-12):
     return num / den
 
 
+def _safe_recip(x, eps=1e-12):
+    return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
+
+
+# ---------------------------------------------------------------------------
+# Component-plane primitive tests — shared by the XLA sweep (below) and the
+# Pallas kernel (ops/intersect_pallas.py).  Inputs are separate x/y/z
+# arrays of any (identical) shape; every op is a full-width VPU op with no
+# minor-dim-3 padding.  Grad-safe: the sqrt argument is where-guarded so
+# invalid lanes contribute no NaN cotangents.
+# ---------------------------------------------------------------------------
+
+
+def sphere_t_planes(ox, oy, oz, dx, dy, dz, t_min=T_MIN):
+    """Unit-sphere (r=0.5) nearest-positive t on component planes.
+    Same math as :func:`sphere_t` (intersections.h:168-204)."""
+    a = dx * dx + dy * dy + dz * dz
+    b = ox * dx + oy * dy + oz * dz
+    c = ox * ox + oy * oy + oz * oz - 0.25
+    disc = b * b - a * c
+    valid = disc > 0.0
+    sq = jnp.sqrt(jnp.where(valid, disc, 1.0))
+    inv_a = _safe_recip(a)
+    t0 = (-b - sq) * inv_a
+    t1 = (-b + sq) * inv_a
+    t = jnp.where(t0 > t_min, t0, t1)
+    return jnp.where(valid & (t > t_min), t, BIG)
+
+
+def cube_t_planes(ox, oy, oz, dx, dy, dz, t_min=T_MIN):
+    """Unit-cube slab test on component planes (intersections.h:78-164)."""
+    ix, iy, iz = _safe_recip(dx), _safe_recip(dy), _safe_recip(dz)
+    tlx, thx = (-0.5 - ox) * ix, (0.5 - ox) * ix
+    tly, thy = (-0.5 - oy) * iy, (0.5 - oy) * iy
+    tlz, thz = (-0.5 - oz) * iz, (0.5 - oz) * iz
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tlx, thx), jnp.minimum(tly, thy)),
+        jnp.minimum(tlz, thz),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tlx, thx), jnp.maximum(tly, thy)),
+        jnp.maximum(tlz, thz),
+    )
+    valid = (t_far >= t_near) & (t_far > t_min)
+    t = jnp.where(t_near > t_min, t_near, t_far)
+    return jnp.where(valid & (t > t_min), t, BIG)
+
+
 def sphere_t(o_obj: jax.Array, d_obj: jax.Array, t_min=T_MIN) -> jax.Array:
     """Nearest positive intersection parameter with the unit sphere
     (radius 0.5) or BIG.  ``o_obj``/``d_obj``: ``[..., 3]`` object-space ray
@@ -109,20 +157,28 @@ def intersect_t_sweep(rays: Rays, geoms: Geoms, t_min=T_MIN) -> jax.Array:
     """Distance-only sweep: ``t[N, G]`` for every (ray, geom) pair.
 
     This is the reference's per-thread geom loop
-    (``raytraceKernel.cu:137-148``) turned into a dense rank-2 computation;
-    normals are *not* computed here (they're recovered for the argmin geom
-    only, in :func:`intersect_scene`) which keeps the sweep bandwidth-lean.
+    (``raytraceKernel.cu:137-148``) turned into a dense rank-2 computation
+    on **component planes**: every intermediate is ``[N, G]`` (the naive
+    ``[N, G, 3]`` object-space-ray formulation pads its minor dimension of
+    3 to 128 lanes on TPU).  Normals are *not* computed here (they're
+    recovered for the argmin geom only, in :func:`intersect_scene`) which
+    keeps the sweep bandwidth-lean.  Pure jnp => differentiable; the
+    forward-only Pallas twin is ops/intersect_pallas.py.
     """
-    # object-space rays for every (ray, geom) pair: [N, G, 3] — explicit
-    # fp32 VPU math, not dot_general (see transforms.mat3_apply)
-    inv = geoms.inv_transform[None, :, :, :]  # [1, G, 4, 4]
-    from pathtracer_tpu.ops.transforms import mat3_apply
+    inv = geoms.inv_transform  # [G, 4, 4]
+    m = [[inv[None, :, i, j] for j in range(4)] for i in range(3)]  # [1, G]
+    ox, oy, oz = (rays.origin[:, i, None] for i in range(3))  # [N, 1]
+    dx, dy, dz = (rays.direction[:, i, None] for i in range(3))
 
-    o_obj = mat3_apply(inv, rays.origin[:, None, :]) + inv[..., :3, 3]
-    d_obj = mat3_apply(inv, rays.direction[:, None, :])
+    oox = m[0][0] * ox + m[0][1] * oy + m[0][2] * oz + m[0][3]
+    ooy = m[1][0] * ox + m[1][1] * oy + m[1][2] * oz + m[1][3]
+    ooz = m[2][0] * ox + m[2][1] * oy + m[2][2] * oz + m[2][3]
+    odx = m[0][0] * dx + m[0][1] * dy + m[0][2] * dz
+    ody = m[1][0] * dx + m[1][1] * dy + m[1][2] * dz
+    odz = m[2][0] * dx + m[2][1] * dy + m[2][2] * dz
 
-    ts = sphere_t(o_obj, d_obj, t_min)
-    tc = cube_t(o_obj, d_obj, t_min)
+    ts = sphere_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
+    tc = cube_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
     gtype = geoms.type[None, :]
     t = jnp.where(gtype == SPHERE, ts, jnp.where(gtype == CUBE, tc, BIG))
     return t

@@ -42,50 +42,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pathtracer_tpu.ops.intersect import BIG, T_MIN, Hit
+from pathtracer_tpu.ops.intersect import (
+    BIG,
+    T_MIN,
+    Hit,
+    cube_t_planes as _cube_t_planes,
+    sphere_t_planes as _sphere_t_planes,
+)
 from pathtracer_tpu.scene.structs import CUBE, SPHERE, Geoms, Rays
 
 LANES = 128
 ROWS = 64  # sublane rows per program => 8192 rays/program instance
-
-
-def _safe_recip(x, eps=1e-12):
-    return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
-
-
-def _sphere_t_planes(ox, oy, oz, dx, dy, dz, t_min):
-    """Unit-sphere (r=0.5) nearest-positive t on component planes.
-    Same math as ops.intersect.sphere_t (intersections.h:168-204)."""
-    a = dx * dx + dy * dy + dz * dz
-    b = ox * dx + oy * dy + oz * dz
-    c = ox * ox + oy * oy + oz * oz - 0.25
-    disc = b * b - a * c
-    valid = disc > 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    inv_a = _safe_recip(a)
-    t0 = (-b - sq) * inv_a
-    t1 = (-b + sq) * inv_a
-    t = jnp.where(t0 > t_min, t0, t1)
-    return jnp.where(valid & (t > t_min), t, BIG)
-
-
-def _cube_t_planes(ox, oy, oz, dx, dy, dz, t_min):
-    """Unit-cube slab test on component planes (intersections.h:78-164)."""
-    ix, iy, iz = _safe_recip(dx), _safe_recip(dy), _safe_recip(dz)
-    tlx, thx = (-0.5 - ox) * ix, (0.5 - ox) * ix
-    tly, thy = (-0.5 - oy) * iy, (0.5 - oy) * iy
-    tlz, thz = (-0.5 - oz) * iz, (0.5 - oz) * iz
-    t_near = jnp.maximum(
-        jnp.maximum(jnp.minimum(tlx, thx), jnp.minimum(tly, thy)),
-        jnp.minimum(tlz, thz),
-    )
-    t_far = jnp.minimum(
-        jnp.minimum(jnp.maximum(tlx, thx), jnp.maximum(tly, thy)),
-        jnp.maximum(tlz, thz),
-    )
-    valid = (t_far >= t_near) & (t_far > t_min)
-    t = jnp.where(t_near > t_min, t_near, t_far)
-    return jnp.where(valid & (t > t_min), t, BIG)
 
 
 def _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min):
