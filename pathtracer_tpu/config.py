@@ -30,3 +30,6 @@ class RenderConfig:
     pallas: bool | None = None  # fused Pallas intersection kernels.
     # None = auto: on for TPU, off elsewhere.  Forward engines only — the
     # differentiable path (render/diff.py) always uses the XLA sweep.
+    fused: bool | None = None  # fully-fused bounce megakernel
+    # (ops/bounce_pallas.py).  None = auto: on whenever the pallas path is
+    # active, the scene has no meshes, and fast_rng is on.

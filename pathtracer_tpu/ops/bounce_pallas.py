@@ -1,0 +1,701 @@
+"""Fully-fused bounce megakernel: one ``pallas_call`` per path-trace step.
+
+The wavefront engine's per-bounce physics (render/common.py — intersect,
+texture/bump, emittance, NEE light sampling + shadow occlusion, BSDF
+sampling, volumetrics) as ONE Mosaic kernel.  The split pipeline pays for
+every stage's HBM round-trip and the ``[N, 3]``-layout padding between
+them; here the whole bounce lives in VMEM registers as component planes,
+and the only HBM traffic is the 16 input + 19 output state planes.
+
+Scope: forward engines, analytic scenes (``scene.meshes == ()``), fast
+counter-hash RNG.  Everything else falls back to the split path in
+render/common.py, which stays the source of truth — this kernel is a
+plane-for-plane transcription of those exact expressions (the test suite
+pins them equal in interpret mode).
+
+Vectors are tuples of ``[rows, 128]`` planes; the ``v*`` helpers make the
+transcription read like the [N, 3] original.  The per-geom/material/light
+tables ride in SMEM and all table loops are unrolled at trace time (G and
+M are small and static).
+
+Reference citations: the per-bounce physics realizes the assignment's
+required core (README.md:45-70) over the stub interaction layer
+(interactions.h:30-103); see the docstrings of ops/bsdf.py, ops/lights.py
+and render/common.py for the per-formula mapping.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_tpu.ops.bsdf import RAY_BIAS, SQRT_ONE_THIRD
+from pathtracer_tpu.ops.intersect import BIG, T_MIN
+from pathtracer_tpu.ops.intersect_pallas import LANES, ROWS, _geom_t, _pack_gdata
+from pathtracer_tpu.scene.structs import SPHERE, Scene
+
+TWO_PI = 2.0 * math.pi
+INV_PI = 1.0 / math.pi
+
+
+# ---------------------------------------------------------------------------
+# vec3-as-planes helpers
+# ---------------------------------------------------------------------------
+
+def vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def vcross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def vsub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def vscale(s, a):
+    return (s * a[0], s * a[1], s * a[2])
+
+
+def vwhere(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def vnormalize(a, eps=1e-24):
+    inv = jax.lax.rsqrt(jnp.maximum(vdot(a, a), eps))
+    return vscale(inv, a)
+
+
+def vmul(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+# ---------------------------------------------------------------------------
+# in-kernel counter-hash RNG — bit-identical to ops/rng.py hash_uniforms
+# ---------------------------------------------------------------------------
+
+def _imul(x, c: int):
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    ci = jnp.int32(c - (1 << 32) if c >= (1 << 31) else c)
+    return jax.lax.bitcast_convert_type(xi * ci, jnp.uint32)
+
+
+def _avalanche(x):
+    x = x ^ (x >> 16)
+    x = _imul(x, 0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = _imul(x, 0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_uniforms_planes(seed_u32, sample_i32, depth_i32, n: int):
+    """n uniform planes in [0, 1) == ops.rng.hash_uniforms columns."""
+    s = jax.lax.bitcast_convert_type(sample_i32, jnp.uint32)
+    d = jax.lax.bitcast_convert_type(depth_i32, jnp.uint32)
+    base = _avalanche(seed_u32 ^ _imul(s, 0x85EBCA6B) ^ _imul(d + jnp.uint32(1), 0xC2B2AE35))
+    out = []
+    for k in range(n):
+        slot = (k * 0x27D4EB2F) & 0xFFFFFFFF
+        bits = _avalanche(base ^ jnp.uint32(slot))
+        # >>8 leaves 24 bits, so the int32 bitcast is value-preserving;
+        # Mosaic has no u32->f32 cast but s32->f32 is native
+        top24 = jax.lax.bitcast_convert_type(bits >> jnp.uint32(8), jnp.int32)
+        out.append(top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SMEM table packing
+# ---------------------------------------------------------------------------
+
+MAT_FIELDS = 23  # matches ops.bsdf.gather_materials column layout
+
+
+def pack_material_table(materials) -> jax.Array:
+    """[M, 23] fp32 — same column layout as gather_materials."""
+    m = materials
+    return jnp.concatenate(
+        [
+            m.color, m.specular_color,
+            m.has_reflective[:, None], m.has_refractive[:, None],
+            m.index_of_refraction[:, None], m.emittance[:, None],
+            m.specular_exponent[:, None], m.absorption_coefficient,
+            m.has_scatter[:, None], m.reduced_scatter_coefficient[:, None],
+            m.texture_type[:, None], m.texture_scale[:, None],
+            m.texture_color2, m.bump_scale[:, None], m.bump_amp[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def pack_light_table(geoms, materials) -> jax.Array:
+    """[G, 19] fp32 per-geom light data: forward-transform rows 0..2 (12),
+    light-pick CDF (1), emitted rgb (3), world per-axis scales (3)."""
+    from pathtracer_tpu.ops.lights import light_areas
+
+    fwd12 = geoms.transform.reshape(geoms.count, 16)[:, :12]
+    areas = light_areas(geoms, materials)
+    total = jnp.maximum(jnp.sum(areas), 1e-20)
+    cdf = jnp.cumsum(areas) / total
+    emit = (
+        materials.color[geoms.material_id]
+        * materials.emittance[geoms.material_id][:, None]
+    )
+    scales = jnp.linalg.norm(geoms.transform[:, :3, :3], axis=1)  # [G, 3]
+    return jnp.concatenate([fwd12, cdf[:, None], emit, scales], axis=-1)
+
+
+def pack_scalars(scene: Scene) -> jax.Array:
+    """[2] fp32 misc scalars: total light area, any-light flag."""
+    from pathtracer_tpu.ops.lights import light_areas
+
+    areas = light_areas(scene.geoms, scene.materials)
+    total = jnp.sum(areas)
+    return jnp.stack([total, (total > 0).astype(jnp.float32)])
+
+
+# ---------------------------------------------------------------------------
+# kernel sub-blocks (all plane math)
+# ---------------------------------------------------------------------------
+
+def _material_fetch(mat_ref, mid, n_materials):
+    """Unrolled select-chain material fetch -> dict of planes."""
+    cols = [None] * MAT_FIELDS
+    for m in range(n_materials):
+        sel = mid == m
+        for k in range(MAT_FIELDS):
+            v = mat_ref[m, k]
+            cols[k] = jnp.where(sel, v, cols[k]) if m else jnp.where(sel, v, 0.0)
+    return dict(
+        color=(cols[0], cols[1], cols[2]),
+        spec_color=(cols[3], cols[4], cols[5]),
+        has_reflective=cols[6],
+        has_refractive=cols[7],
+        ior=cols[8],
+        emittance=cols[9],
+        spec_exp=cols[10],
+        absorption=(cols[11], cols[12], cols[13]),
+        has_scatter=cols[14],
+        scatter_coeff=cols[15],
+        texture_type=cols[16],
+        texture_scale=cols[17],
+        texture_color2=(cols[18], cols[19], cols[20]),
+        bump_scale=cols[21],
+        bump_amp=cols[22],
+    )
+
+
+def _not_axis_frame(n):
+    """Kutz trick tangent frame (interactions.h:62-87): (p1, p2)."""
+    ax = (jnp.abs(n[0]), jnp.abs(n[1]), jnp.abs(n[2]))
+    use_x = ax[0] < SQRT_ONE_THIRD
+    use_y = (~use_x) & (ax[1] < SQRT_ONE_THIRD)
+    not_n = (
+        jnp.where(use_x, 1.0, 0.0),
+        jnp.where(use_y, 1.0, 0.0),
+        jnp.where(use_x | use_y, 0.0, 1.0),
+    )
+    p1 = vnormalize(vcross(n, not_n), 1e-24)
+    p2 = vnormalize(vcross(n, p1), 1e-24)
+    return p1, p2
+
+
+def _cosine_hemisphere(n, xi1, xi2):
+    up = jnp.sqrt(xi1)
+    over = jnp.sqrt(jnp.clip(1.0 - xi1, 0.0, None))
+    around = xi2 * TWO_PI
+    p1, p2 = _not_axis_frame(n)
+    return vadd(
+        vscale(up, n),
+        vadd(vscale(jnp.cos(around) * over, p1), vscale(jnp.sin(around) * over, p2)),
+    )
+
+
+def _rotate_about(axis_dir, cos_angle, phi):
+    sin_angle = jnp.sqrt(jnp.clip(1.0 - cos_angle * cos_angle, 0.0, None))
+    p1, p2 = _not_axis_frame(axis_dir)
+    return vadd(
+        vscale(cos_angle, axis_dir),
+        vadd(
+            vscale(jnp.cos(phi) * sin_angle, p1),
+            vscale(jnp.sin(phi) * sin_angle, p2),
+        ),
+    )
+
+
+def _sample_bsdf_planes(mat, p, n_raw, d_in, u0, u1, u2):
+    """Plane transcription of ops.bsdf.sample_bsdf."""
+    cos_raw = vdot(d_in, n_raw)
+    entering = cos_raw < 0.0
+    n = vwhere(entering, n_raw, vscale(jnp.float32(-1.0), n_raw))
+    cos_i = jnp.abs(cos_raw)
+
+    d_diffuse = _cosine_hemisphere(n, u0, u1)
+    d_mirror = vsub(d_in, vscale(2.0 * vdot(d_in, n), n))
+
+    exp_n = jnp.maximum(mat["spec_exp"], 1e-6)
+    cos_alpha = jnp.exp(jnp.log(jnp.clip(u0, 1e-9, None)) / (exp_n + 1.0))
+    d_glossy = _rotate_about(d_mirror, cos_alpha, u1 * TWO_PI)
+    glossy_cos_out = vdot(d_glossy, n)
+    glossy_weight = jnp.where(
+        glossy_cos_out > 0.0,
+        (exp_n + 2.0) / (exp_n + 1.0) * jnp.clip(glossy_cos_out, 0.0, 1.0),
+        0.0,
+    )
+
+    ior_i = jnp.where(entering, 1.0, mat["ior"])
+    ior_t = jnp.where(entering, mat["ior"], 1.0)
+    eta = ior_i / jnp.maximum(ior_t, 1e-6)
+    # refract (ops.bsdf.refract)
+    r_cos_i = -vdot(d_in, n)
+    sin2_t = eta * eta * jnp.clip(1.0 - r_cos_i * r_cos_i, 0.0, None)
+    refr_valid = sin2_t <= 1.0
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 1e-12, None))
+    d_refr = vnormalize(
+        vadd(vscale(eta, d_in), vscale(eta * r_cos_i - cos_t, n)), 1e-24
+    )
+    # fresnel_dielectric
+    f_cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    f_sin2t = eta * eta * (1.0 - f_cos_i * f_cos_i)
+    tir = f_sin2t > 1.0
+    f_cos_t = jnp.sqrt(jnp.clip(1.0 - f_sin2t, 1e-12, None))
+    r_par = (ior_t * f_cos_i - ior_i * f_cos_t) / (ior_t * f_cos_i + ior_i * f_cos_t)
+    r_perp = (ior_i * f_cos_i - ior_t * f_cos_t) / (ior_i * f_cos_i + ior_t * f_cos_t)
+    fres_r = jnp.where(tir, 1.0, 0.5 * (r_par * r_par + r_perp * r_perp))
+    fres_r = jnp.where(refr_valid, fres_r, 1.0)
+    choose_reflect = u2 < fres_r
+    d_dielectric = vwhere(choose_reflect, d_mirror, d_refr)
+
+    is_refractive = mat["has_refractive"] > 0.0
+    is_reflective = (~is_refractive) & (mat["has_reflective"] > 0.0)
+    is_glossy = is_reflective & (mat["spec_exp"] > 0.0)
+    is_mirror = is_reflective & (~is_glossy)
+    is_specular = is_refractive | is_reflective
+
+    direction = vwhere(
+        is_refractive,
+        d_dielectric,
+        vwhere(is_glossy, d_glossy, vwhere(is_mirror, d_mirror, d_diffuse)),
+    )
+    thr = vwhere(is_specular, mat["spec_color"], mat["color"])
+    thr = vwhere(is_glossy, vscale(glossy_weight, thr), thr)
+    transmitted = is_refractive & (~choose_reflect) & refr_valid
+    bias = jnp.where(transmitted, -RAY_BIAS, RAY_BIAS)
+    origin = vadd(p, vscale(bias, n))
+    return dict(
+        direction=direction,
+        origin=origin,
+        throughput_mult=thr,
+        is_specular=is_specular,
+        transmitted=transmitted,
+        entering=entering,
+    )
+
+
+def _sample_lights_planes(ldata_ref, scal_ref, n_geoms, u0, u1, u2, u3):
+    """Plane transcription of ops.lights.sample_lights (point candidates;
+    the caller resolves sphere-vs-cube with the picked light's type flag).
+
+    ``ldata`` row: fwd m00..m23 (0:12), light-pick cdf (12), emit rgb
+    (13:16), world per-axis scales (16:19)."""
+    total_area = scal_ref[0]
+    valid = scal_ref[1] > 0.5
+
+    # inverse-CDF pick: light_id = sum(u0 > cdf_g)
+    lid = jnp.zeros(u0.shape, jnp.int32)
+    for g in range(n_geoms):
+        lid = lid + (u0 > ldata_ref[g, 12]).astype(jnp.int32)
+    lid = jnp.clip(lid, 0, n_geoms - 1)
+
+    # select the picked light's rows (fwd transform, emit color, scales)
+    fwd = [jnp.zeros(u0.shape, jnp.float32) for _ in range(12)]
+    emit = [jnp.zeros(u0.shape, jnp.float32) for _ in range(3)]
+    scl = [jnp.zeros(u0.shape, jnp.float32) for _ in range(3)]
+    for g in range(n_geoms):
+        sel = lid == g
+        for k in range(12):
+            fwd[k] = jnp.where(sel, ldata_ref[g, k], fwd[k])
+        for k in range(3):
+            emit[k] = jnp.where(sel, ldata_ref[g, 13 + k], emit[k])
+            scl[k] = jnp.where(sel, ldata_ref[g, 16 + k], scl[k])
+    sx, sy, sz = scl
+
+    # cube face-pair pick by world area (lights._sample_unit_cube_surface)
+    fa = (2.0 * sy * sz, 2.0 * sx * sz, 2.0 * sx * sy)
+    ftot = jnp.maximum(fa[0] + fa[1] + fa[2], 1e-20)
+    c0 = fa[0] / ftot
+    c1 = (fa[0] + fa[1]) / ftot
+    axis = (u1 > c0).astype(jnp.int32) + (u1 > c1).astype(jnp.int32)
+    side = jnp.where(u2 < 0.5, -0.5, 0.5)
+    cc1 = jnp.where(u2 < 0.5, u2 * 2.0, (u2 - 0.5) * 2.0) - 0.5
+    cc2 = u3 - 0.5
+    ax0 = axis == 0
+    ax1 = axis == 1
+    ax2 = axis == 2
+    # components for the (axis, axis+1, axis+2) slot placement
+    px = jnp.where(ax0, side, jnp.where(ax1, cc2, cc1))
+    py = jnp.where(ax1, side, jnp.where(ax2, cc2, cc1))
+    pz = jnp.where(ax2, side, jnp.where(ax0, cc2, cc1))
+    sgn = jnp.sign(side)
+    n_cube = (
+        jnp.where(ax0, sgn, 0.0),
+        jnp.where(ax1, sgn, 0.0),
+        jnp.where(ax2, sgn, 0.0),
+    )
+
+    # sphere sample (lights._sample_unit_sphere_surface, u2/u3 slots)
+    z = 1.0 - 2.0 * u2
+    r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, None))
+    phi = TWO_PI * u3
+    n_s = (r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+    return dict(
+        lid=lid, fwd=fwd, emit=emit,
+        total_area=total_area, valid=valid,
+        sphere_parts=(n_s,), cube_parts=((px, py, pz), n_cube),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _bounce_kernel(
+    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref,
+    # input planes
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    tx_ref, ty_ref, tz_ref,
+    sample_ref, depth_ref, pspec_ref,
+    mar_ref, mag_ref, mab_ref, ms_ref,
+    # output planes
+    cr_ref, cg_ref, cb_ref,
+    nox_ref, noy_ref, noz_ref,
+    ndx_ref, ndy_ref, ndz_ref,
+    tmr_ref, tmg_ref, tmb_ref,
+    term_ref, wspec_ref, rru_ref,
+    omr_ref, omg_ref, omb_ref, oms_ref,
+    *,
+    n_geoms: int, n_materials: int, nee: bool, t_min: float,
+):
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
+    sample = sample_ref[:]
+    depth = depth_ref[:]
+    prev_spec = pspec_ref[:] > 0.5
+    sigma_a = (mar_ref[:], mag_ref[:], mab_ref[:])
+    sigma_s = ms_ref[:]
+
+    # ---- nearest hit (same unrolled pass as _nearest_hit_kernel)
+    best_t = jnp.full(o[0].shape, BIG, jnp.float32)
+    gid = jnp.zeros(o[0].shape, jnp.int32)
+    mid = jnp.zeros(o[0].shape, jnp.int32)
+    is_sphere = jnp.zeros(o[0].shape, jnp.float32)
+    w = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(6)]
+    for g in range(n_geoms):
+        t_g, obj = _geom_t(g, gdata_ref, *o, *d, t_min)
+        better = t_g < best_t
+        sph_flag = jnp.where(gdata_ref[g, 12] == float(SPHERE), 1.0, 0.0)
+        best_t = jnp.where(better, t_g, best_t)
+        gid = jnp.where(better, g, gid)
+        mid = jnp.where(better, gdata_ref[g, 13].astype(jnp.int32), mid)
+        is_sphere = jnp.where(better, sph_flag, is_sphere)
+        w = [jnp.where(better, ob, prev) for ob, prev in zip(obj, w)]
+    hit = best_t < BIG
+    t_safe = jnp.where(hit, best_t, 1.0)
+    p = vadd(o, vscale(t_safe, d))
+    p_obj = (w[0] + t_safe * w[3], w[1] + t_safe * w[4], w[2] + t_safe * w[5])
+
+    axx, axy, axz = jnp.abs(p_obj[0]), jnp.abs(p_obj[1]), jnp.abs(p_obj[2])
+    fx = (axx >= axy) & (axx >= axz)
+    fy = (~fx) & (axy >= axz)
+    inv_len = jax.lax.rsqrt(jnp.maximum(vdot(p_obj, p_obj), 1e-24))
+    sph = is_sphere > 0.5
+    n_obj = (
+        jnp.where(sph, p_obj[0] * inv_len, jnp.where(fx, jnp.sign(p_obj[0]), 0.0)),
+        jnp.where(sph, p_obj[1] * inv_len, jnp.where(fy, jnp.sign(p_obj[1]), 0.0)),
+        jnp.where(
+            sph, p_obj[2] * inv_len,
+            jnp.where((~fx) & (~fy), jnp.sign(p_obj[2]), 0.0),
+        ),
+    )
+    nw = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(3)]
+    for g in range(n_geoms):
+        sel = gid == g
+        m = [gdata_ref[g, k] for k in range(12)]
+        nw[0] = jnp.where(sel, m[0] * n_obj[0] + m[4] * n_obj[1] + m[8] * n_obj[2], nw[0])
+        nw[1] = jnp.where(sel, m[1] * n_obj[0] + m[5] * n_obj[1] + m[9] * n_obj[2], nw[1])
+        nw[2] = jnp.where(sel, m[2] * n_obj[0] + m[6] * n_obj[1] + m[10] * n_obj[2], nw[2])
+    normal = vnormalize(tuple(nw), 1e-24)
+
+    # ---- material fetch
+    mat = _material_fetch(mat_ref, mid, n_materials)
+    emissive = mat["emittance"] > 0.0
+
+    # ---- procedural texture (render/common.py texture block)
+    cells = (
+        jnp.floor(p_obj[0] * mat["texture_scale"]),
+        jnp.floor(p_obj[1] * mat["texture_scale"]),
+        jnp.floor(p_obj[2] * mat["texture_scale"]),
+    )
+    checker = jnp.mod(cells[0] + cells[1] + cells[2], 2.0)
+    stripes = jnp.mod(cells[0], 2.0)
+    pattern = jnp.where(mat["texture_type"] > 1.5, stripes, checker)
+    textured = (mat["texture_type"] > 0.5) & (pattern > 0.5)
+    mat["color"] = vwhere(textured, mat["texture_color2"], mat["color"])
+
+    # ---- procedural bump (render/common.py bump block)
+    bump_on = mat["bump_scale"] > 0.0
+    t1, t2 = _not_axis_frame(normal)
+    ph1 = p_obj[0] * 12.9898 + p_obj[1] * 78.233 + p_obj[2] * 37.719
+    ph2 = p_obj[0] * 93.989 + p_obj[1] * 26.651 + p_obj[2] * 61.312
+    amp = jnp.where(bump_on, mat["bump_amp"], 0.0)
+    n_bumped = vnormalize(
+        vadd(
+            normal,
+            vadd(
+                vscale(amp * jnp.sin(mat["bump_scale"] * ph1), t1),
+                vscale(amp * jnp.sin(mat["bump_scale"] * ph2), t2),
+            ),
+        ),
+        1e-24,
+    )
+    normal = vwhere(bump_on, n_bumped, normal)
+
+    # ---- RNG (bit-identical to bounce_uniforms fast path)
+    seed = seed_ref[0]
+    u = hash_uniforms_planes(seed, sample, depth, 11)
+
+    # ---- volumetric free path (render/common.py)
+    free_path = jnp.where(
+        sigma_s > 0.0,
+        -jnp.log(jnp.clip(1.0 - u[8], 1e-7, 1.0)) / jnp.maximum(sigma_s, 1e-12),
+        jnp.float32(1e30),
+    )
+    vol_scatter = hit & (free_path < best_t)
+    seg = jnp.where(vol_scatter, free_path, jnp.where(hit, best_t, 0.0))
+    atten = (
+        jnp.exp(-sigma_a[0] * seg),
+        jnp.exp(-sigma_a[1] * seg),
+        jnp.exp(-sigma_a[2] * seg),
+    )
+    throughput = vmul(throughput, atten)
+
+    # ---- emittance on BSDF hit
+    emitted = vscale(mat["emittance"], vmul(throughput, mat["color"]))
+    emit_mask = hit & emissive & (~vol_scatter)
+    if nee:
+        emit_mask = emit_mask & ((depth == 0) | prev_spec)
+    zero3 = (0.0 * o[0], 0.0 * o[0], 0.0 * o[0])
+    contrib = vwhere(emit_mask, emitted, zero3)
+
+    # ---- BSDF continuation
+    sc = _sample_bsdf_planes(mat, p, normal, d, u[0], u[1], u[2])
+
+    # ---- NEE
+    if nee:
+        ls = _sample_lights_planes(
+            ldata_ref, scal_ref, n_geoms, u[4], u[5], u[6], u[7]
+        )
+        # resolve the sphere/cube pick with the picked light's type flag
+        # (float flag plane — Mosaic has no i1 vector storage)
+        lid = ls["lid"]
+        l_sph_f = jnp.zeros(o[0].shape, jnp.float32)
+        for g in range(n_geoms):
+            flag = jnp.where(gdata_ref[g, 12] == float(SPHERE), 1.0, 0.0)
+            l_sph_f = jnp.where(lid == g, flag, l_sph_f)
+        l_is_sph = l_sph_f > 0.5
+        (n_s,) = ls["sphere_parts"]
+        (p_cube, n_cube) = ls["cube_parts"]
+        lp_obj = vwhere(l_is_sph, vscale(jnp.float32(0.5), n_s), p_cube)
+        ln_obj = vwhere(l_is_sph, n_s, n_cube)
+        f = ls["fwd"]
+        lp = (
+            f[0] * lp_obj[0] + f[1] * lp_obj[1] + f[2] * lp_obj[2] + f[3],
+            f[4] * lp_obj[0] + f[5] * lp_obj[1] + f[6] * lp_obj[2] + f[7],
+            f[8] * lp_obj[0] + f[9] * lp_obj[1] + f[10] * lp_obj[2] + f[11],
+        )
+        # light normal: inverse-transpose of the picked light
+        li = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(12)]
+        for g in range(n_geoms):
+            sel = lid == g
+            for k in range(12):
+                li[k] = jnp.where(sel, gdata_ref[g, k], li[k])
+        ln = vnormalize(
+            (
+                li[0] * ln_obj[0] + li[4] * ln_obj[1] + li[8] * ln_obj[2],
+                li[1] * ln_obj[0] + li[5] * ln_obj[1] + li[9] * ln_obj[2],
+                li[2] * ln_obj[0] + li[6] * ln_obj[1] + li[10] * ln_obj[2],
+            ),
+            1e-24,
+        )
+
+        n_shade = vscale(jnp.sign(-vdot(normal, d)), normal)
+        x = vadd(p, vscale(jnp.float32(RAY_BIAS), n_shade))
+        to_light = vsub(lp, x)
+        dist2 = vdot(to_light, to_light)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        wi = vscale(1.0 / dist, to_light)
+        cos_x = vdot(n_shade, wi)
+        cos_y = -vdot(ln, wi)
+        diffuse_lane = hit & (~emissive) & (~sc["is_specular"]) & (~vol_scatter)
+        candidate = diffuse_lane & ls["valid"] & (cos_x > 0) & (cos_y > 0)
+
+        # shadow occlusion: second unrolled geom loop
+        occ_t = jnp.full(o[0].shape, BIG, jnp.float32)
+        for g in range(n_geoms):
+            t_g, _ = _geom_t(g, gdata_ref, *x, *wi, t_min)
+            occ_t = jnp.minimum(occ_t, t_g)
+        visible = occ_t >= dist - 4.0 * RAY_BIAS
+
+        gterm = cos_x * cos_y / jnp.maximum(dist2, 1e-12)
+        pdf_area = 1.0 / jnp.maximum(ls["total_area"], 1e-20)
+        nee_scale = gterm / jnp.maximum(pdf_area, 1e-20) * INV_PI
+        nee_rgb = vscale(
+            nee_scale, vmul(vmul(throughput, mat["color"]), tuple(ls["emit"]))
+        )
+        add = candidate & visible
+        contrib = vadd(contrib, vwhere(add, nee_rgb, zero3))
+
+    # ---- in-medium scatter (render/common.py tail)
+    vol_pos = vadd(o, vscale(free_path, d))
+    vz = 1.0 - 2.0 * u[9]
+    vr = jnp.sqrt(jnp.clip(1.0 - vz * vz, 0.0, None))
+    vphi = TWO_PI * u[10]
+    vol_dir = (vr * jnp.cos(vphi), vr * jnp.sin(vphi), vz)
+
+    terminate = (~hit) | (emissive & (~vol_scatter))
+    surf_a = vwhere(
+        sc["transmitted"],
+        vwhere(sc["entering"], mat["absorption"], (0.0 * o[0],) * 3),
+        sigma_a,
+    )
+    surf_s = jnp.where(
+        sc["transmitted"],
+        jnp.where(sc["entering"], mat["has_scatter"] * mat["scatter_coeff"], 0.0),
+        sigma_s,
+    )
+
+    next_o = vwhere(vol_scatter, vol_pos, sc["origin"])
+    next_d = vwhere(vol_scatter, vol_dir, sc["direction"])
+    thr_mult = vwhere(vol_scatter, atten, vmul(atten, sc["throughput_mult"]))
+    out_ma = vwhere(vol_scatter, sigma_a, surf_a)
+    out_ms = jnp.where(vol_scatter, sigma_s, surf_s)
+
+    cr_ref[:], cg_ref[:], cb_ref[:] = contrib
+    nox_ref[:], noy_ref[:], noz_ref[:] = next_o
+    ndx_ref[:], ndy_ref[:], ndz_ref[:] = next_d
+    tmr_ref[:], tmg_ref[:], tmb_ref[:] = thr_mult
+    # bool planes stored as 0/1 floats (Mosaic has no i1 vector memory)
+    term_ref[:] = jnp.where(terminate, 1.0, 0.0)
+    wspec_ref[:] = jnp.where(vol_scatter | sc["is_specular"], 1.0, 0.0)
+    rru_ref[:] = u[3]
+    omr_ref[:], omg_ref[:], omb_ref[:] = out_ma
+    oms_ref[:] = out_ms
+
+
+# ---------------------------------------------------------------------------
+# wrapper
+# ---------------------------------------------------------------------------
+
+def _to_planes(arr, npad):
+    n = arr.shape[0]
+    if npad != n:
+        pad_width = [(0, npad - n)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad_width)
+    if arr.ndim == 1:
+        return [arr.reshape(-1, LANES)]
+    return [arr[:, i].reshape(-1, LANES) for i in range(arr.shape[1])]
+
+
+def bounce_fused(
+    scene: Scene,
+    origin, direction, throughput, sample_idx, depth, prev_specular,
+    medium_sigma, base_key, cfg, interpret: bool = False,
+):
+    """Run the fused bounce kernel; returns a render.common.BounceResult.
+
+    Preconditions (enforced by the caller, render/common.py):
+    ``scene.meshes == ()`` and ``cfg.fast_rng``."""
+    from pathtracer_tpu.ops.rng import key_to_seed
+    from pathtracer_tpu.render.common import BounceResult
+
+    n = origin.shape[0]
+    tile = ROWS * LANES
+    npad = -(-n // tile) * tile
+    rows = npad // LANES
+
+    depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
+    planes = (
+        _to_planes(origin, npad)
+        + _to_planes(direction, npad)
+        + _to_planes(throughput, npad)
+        + _to_planes(sample_idx.astype(jnp.int32), npad)
+        + _to_planes(depth_arr, npad)
+        + _to_planes(prev_specular.astype(jnp.float32), npad)
+        + _to_planes(medium_sigma, npad)
+    )
+
+    gdata = _pack_gdata(scene.geoms)
+    mdata = pack_material_table(scene.materials)
+    ldata = pack_light_table(scene.geoms, scene.materials)
+    scal = pack_scalars(scene)
+    seed = key_to_seed(base_key).reshape(1)
+
+    grid = (rows // ROWS,)
+    plane = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _bounce_kernel,
+            n_geoms=scene.geoms.count,
+            n_materials=scene.materials.count,
+            nee=cfg.nee,
+            t_min=T_MIN,
+        ),
+        grid=grid,
+        in_specs=[smem] * 5 + [plane] * 16,
+        out_specs=tuple([plane] * 19),
+        out_shape=tuple([fshp] * 19),
+        interpret=interpret,
+    )(gdata, mdata, ldata, scal, seed, *planes)
+
+    def unp(i):
+        return outs[i].reshape(-1)[:n]
+
+    def unp3(i):
+        return jnp.stack([unp(i), unp(i + 1), unp(i + 2)], axis=-1)
+
+    return BounceResult(
+        contrib=unp3(0),
+        next_origin=unp3(3),
+        next_direction=unp3(6),
+        throughput_mult=unp3(9),
+        terminate=unp(12) > 0.5,
+        was_specular=unp(13) > 0.5,
+        rr_uniform=unp(14),
+        next_medium=jnp.concatenate(
+            [unp3(15), unp(18)[:, None]], axis=-1
+        ),
+    )

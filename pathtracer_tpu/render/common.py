@@ -94,6 +94,23 @@ def shade_bounce(
     use_pallas = cfg.pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    interp_all = jax.default_backend() != "tpu"
+    use_fused = cfg.fused
+    if use_fused is None:
+        use_fused = use_pallas and not scene.meshes and cfg.fast_rng
+    if use_fused:
+        # fully-fused bounce megakernel: the entire per-bounce physics in
+        # one pallas_call (ops/bounce_pallas.py); bit-compatible RNG and
+        # plane-for-plane identical formulas with the split path below
+        from pathtracer_tpu.ops.bounce_pallas import bounce_fused
+
+        if medium_sigma is None:
+            medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
+        return bounce_fused(
+            scene, rays.origin, rays.direction, throughput, sample_idx,
+            depth, prev_specular, medium_sigma, base_key, cfg,
+            interpret=interp_all,
+        )
     if use_pallas:
         from pathtracer_tpu.ops.intersect_pallas import (
             intersect_scene_pallas,

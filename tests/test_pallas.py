@@ -100,3 +100,60 @@ def test_full_render_pallas_vs_xla(cornell_small):
     np.testing.assert_allclose(
         np.asarray(acc_ref), np.asarray(acc_pal), rtol=1e-3, atol=1e-3
     )
+
+
+def test_fused_bounce_matches_split_path(cornell_scene):
+    """The fully-fused bounce megakernel (ops/bounce_pallas.py) equals the
+    split shade_bounce on every live lane, across all material lobes,
+    NEE on/off, volumetric media, and varied depth/prev_spec state.
+    (Terminated lanes carry don't-care continuation values.)"""
+    import jax
+
+    from pathtracer_tpu.render.common import shade_bounce
+
+    scene = cornell_scene
+    n = 1024
+    key = jax.random.PRNGKey(7)
+    o = jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 3.0
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(origin=o, direction=d)
+    tp = jax.random.uniform(jax.random.PRNGKey(2), (n, 3), minval=0.2, maxval=1.0)
+    si = jax.random.randint(jax.random.PRNGKey(3), (n,), 0, 10_000_000, jnp.int32)
+    dep = jax.random.randint(jax.random.PRNGKey(4), (n,), 0, 8, jnp.int32)
+    ps = jax.random.bernoulli(jax.random.PRNGKey(5), 0.3, (n,))
+    med = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(6), 0.3, (n, 1)),
+        jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (n, 4))) * 0.5,
+        0.0,
+    )
+
+    for nee in (True, False):
+        ref = shade_bounce(
+            scene, rays, tp, si, dep, ps, key,
+            RenderConfig(nee=nee, pallas=False, fused=False), medium_sigma=med,
+        )
+        fus = shade_bounce(
+            scene, rays, tp, si, dep, ps, key,
+            RenderConfig(nee=nee, pallas=True, fused=True), medium_sigma=med,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.terminate), np.asarray(fus.terminate)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.was_specular), np.asarray(fus.was_specular)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.rr_uniform), np.asarray(fus.rr_uniform)
+        )
+        live = ~np.asarray(ref.terminate)
+        for f in (
+            "contrib", "next_origin", "next_direction",
+            "throughput_mult", "next_medium",
+        ):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, f))[live],
+                np.asarray(getattr(fus, f))[live],
+                rtol=2e-4, atol=2e-5,
+                err_msg=f"{f} (nee={nee})",
+            )
