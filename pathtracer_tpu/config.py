@@ -22,7 +22,10 @@ class RenderConfig:
     rr_start: int = 3
     iters_per_launch: int = 16  # progressive iterations fused into one jit call
     wavefront: bool = False  # wavefront+regeneration engine vs masked megakernel
-    wavefront_capacity: int = 1 << 18  # path slots per device in the wavefront
+    wavefront_pinned: bool = True  # slot==pixel wavefront (no scatter; lane
+    # count = local pixel count).  False = free-slot queue engine with
+    # wavefront_capacity lanes and cumsum-rank refill (lower memory).
+    wavefront_capacity: int = 1 << 18  # path slots per device (queue engine)
     accum_dtype: str = "float32"  # HDR sum accumulator dtype
     compute_dtype: str = "float32"
     seed: int = 0

@@ -48,19 +48,35 @@ def _sharded_chunk_executable(cfg: RenderConfig, n_iters: int, mesh_key):
         d = jax.lax.axis_index(AXIS)
         n_local = accum_local.shape[0]
         n_global = n_local * n_dev
-        from pathtracer_tpu.render.wavefront import render_samples_wavefront
-
-        accum_local, nrays = render_samples_wavefront(
-            scene,
-            accum_local,
-            start_iteration * n_local,
-            n_iters * n_local,
-            base_key,
-            cfg,
-            pixel_offset=d,
-            pixel_stride=n_dev,
-            n_global_pixels=n_global,
+        from pathtracer_tpu.render.wavefront import (
+            render_samples_pinned,
+            render_samples_wavefront,
         )
+
+        if cfg.wavefront_pinned:
+            accum_local, nrays = render_samples_pinned(
+                scene,
+                accum_local,
+                start_iteration,
+                n_iters,
+                base_key,
+                cfg,
+                pixel_offset=d,
+                pixel_stride=n_dev,
+                n_global_pixels=n_global,
+            )
+        else:
+            accum_local, nrays = render_samples_wavefront(
+                scene,
+                accum_local,
+                start_iteration * n_local,
+                n_iters * n_local,
+                base_key,
+                cfg,
+                pixel_offset=d,
+                pixel_stride=n_dev,
+                n_global_pixels=n_global,
+            )
         return accum_local, jax.lax.psum(nrays, AXIS)
 
     fn = shard_map(

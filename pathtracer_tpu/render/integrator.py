@@ -65,8 +65,15 @@ def _chunk_executable(cfg: RenderConfig, n_iters: int):
     def chunk(scene: Scene, accum, start_iteration, base_key):
         n_pixels = accum.shape[0]
         if cfg.wavefront:
-            from pathtracer_tpu.render.wavefront import render_samples_wavefront
+            from pathtracer_tpu.render.wavefront import (
+                render_samples_pinned,
+                render_samples_wavefront,
+            )
 
+            if cfg.wavefront_pinned:
+                return render_samples_pinned(
+                    scene, accum, start_iteration, n_iters, base_key, cfg
+                )
             start_sample = start_iteration * n_pixels
             return render_samples_wavefront(
                 scene, accum, start_sample, n_iters * n_pixels, base_key, cfg

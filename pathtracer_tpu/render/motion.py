@@ -34,7 +34,10 @@ def lerp_params(p0: SceneParams, p1: SceneParams, t) -> SceneParams:
 @functools.lru_cache(maxsize=None)
 def _motion_chunk_executable(static, cfg: RenderConfig, n_iters: int):
     from pathtracer_tpu.render.integrator import render_sample
-    from pathtracer_tpu.render.wavefront import render_samples_wavefront
+    from pathtracer_tpu.render.wavefront import (
+        render_samples_pinned,
+        render_samples_wavefront,
+    )
 
     @functools.partial(jax.jit, donate_argnames=("accum",))
     def chunk(p0, p1, accum, start_iteration, base_key):
@@ -49,9 +52,14 @@ def _motion_chunk_executable(static, cfg: RenderConfig, n_iters: int):
             )
             scene = build_scene(lerp_params(p0, p1, t), static)
             if cfg.wavefront:
-                acc, n = render_samples_wavefront(
-                    scene, acc, it * n_pixels, n_pixels, base_key, cfg
-                )
+                if cfg.wavefront_pinned:
+                    acc, n = render_samples_pinned(
+                        scene, acc, it, 1, base_key, cfg
+                    )
+                else:
+                    acc, n = render_samples_wavefront(
+                        scene, acc, it * n_pixels, n_pixels, base_key, cfg
+                    )
                 return acc, nrays + n
             pixel_index = jax.lax.iota(jnp.int32, n_pixels)
             radiance, n = render_sample(scene, pixel_index, it, base_key, cfg)

@@ -178,3 +178,126 @@ def render_samples_wavefront(
         [final["accum_r"], final["accum_g"], final["accum_b"]], axis=-1
     )
     return accum_out, final["rays"]
+
+
+def render_samples_pinned(
+    scene: Scene,
+    accum: jax.Array,
+    start_iteration,
+    n_iters: int,
+    base_key: jax.Array,
+    cfg: RenderConfig,
+    pixel_offset=0,
+    pixel_stride: int = 1,
+    n_global_pixels: int | None = None,
+):
+    """Pinned-slot wavefront: slot ``i`` IS local pixel ``i`` for the whole
+    launch and traces that pixel's ``n_iters`` samples back-to-back.
+
+    The free-slot-queue engine above is fully general (any capacity), but
+    its radiance flush is a scatter-add — and any scatter against the big
+    accumulator costs milliseconds per step inside the compiled step graph
+    on TPU.  Pinning slot==pixel makes the radiance accumulation a pure
+    per-lane register add and the final accumulation ONE elementwise add:
+    no scatter, no rank ``cumsum``, no queue bookkeeping at all.  The cost
+    is static lane count (= local pixel count; ~88 B/lane of HBM state)
+    and a convergence tail set by the slowest pixel — small, because with
+    a depth cap the per-pixel total bounce count concentrates sharply.
+
+    RNG contract: identical to the queue engine (sample index
+    ``it * n_global + global_pixel``), so both engines and every sharding
+    compute the same sample set.  Returns ``(accum, rays_traced)``.
+    """
+    n_local = accum.shape[0]
+    n_global = n_global_pixels if n_global_pixels is not None else n_local
+    local_pix = jax.lax.iota(jnp.int32, n_local)
+    global_pix = pixel_offset + pixel_stride * local_pix
+    start_iteration = jnp.asarray(start_iteration, jnp.int32)
+    end_iter = start_iteration + n_iters
+
+    def spawn(it):
+        """per-slot iteration counter -> (rays, global_sample)."""
+        gs = it * n_global + global_pix
+        from pathtracer_tpu.render.common import camera_uniforms
+
+        u4 = camera_uniforms(base_key, gs, cfg.fast_rng)
+        rays = generate_camera_rays(
+            scene.camera, global_pix, None, jitter=cfg.jitter, per_ray_uniforms=u4
+        )
+        return rays, gs
+
+    it0 = jnp.full((n_local,), 1, jnp.int32) * start_iteration
+    rays0, sample0 = spawn(it0)
+    state = dict(
+        origin=rays0.origin,
+        direction=rays0.direction,
+        throughput=jnp.ones((n_local, 3), jnp.float32),
+        radiance=jnp.zeros((n_local, 3), jnp.float32),
+        sample=sample0,
+        it=it0,
+        depth=jnp.zeros((n_local,), jnp.int32),
+        prev_spec=jnp.zeros((n_local,), bool),
+        medium=jnp.zeros((n_local, 4), jnp.float32),
+        alive=jnp.full((n_local,), n_iters > 0),
+        rays=jnp.float32(0.0),
+    )
+
+    def cond(st):
+        return jnp.any(st["alive"])
+
+    def step(st):
+        rays = Rays(origin=st["origin"], direction=st["direction"])
+        alive = st["alive"]
+        nrays = st["rays"] + jnp.sum(alive.astype(jnp.float32)) * (
+            2.0 if cfg.nee else 1.0
+        )
+        res = shade_bounce(
+            scene,
+            rays,
+            st["throughput"],
+            st["sample"],
+            st["depth"],
+            st["prev_spec"],
+            base_key,
+            cfg,
+            medium_sigma=st["medium"],
+        )
+        radiance = st["radiance"] + jnp.where(alive[:, None], res.contrib, 0.0)
+        depth = st["depth"] + 1
+        survive = alive & (~res.terminate) & (depth < cfg.max_depth)
+        throughput = jnp.where(
+            survive[:, None], st["throughput"] * res.throughput_mult, st["throughput"]
+        )
+        if cfg.russian_roulette:
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            rr_on = survive & (depth >= cfg.rr_start)
+            keep = res.rr_uniform < p
+            throughput = jnp.where(rr_on[:, None], throughput / p[:, None], throughput)
+            survive = jnp.where(rr_on, survive & keep, survive)
+
+        # slot done with this sample: move to the SAME pixel's next sample
+        dead = alive & (~survive)
+        it_next = st["it"] + 1
+        can_respawn = dead & (it_next < end_iter)
+        new_rays, new_sample = spawn(jnp.where(can_respawn, it_next, start_iteration))
+
+        def sel(fresh, cont):
+            m = can_respawn.reshape((-1,) + (1,) * (cont.ndim - 1))
+            return jnp.where(m, fresh, cont)
+
+        return dict(
+            origin=sel(new_rays.origin, res.next_origin),
+            direction=sel(new_rays.direction, res.next_direction),
+            throughput=sel(jnp.ones_like(throughput), throughput),
+            radiance=radiance,  # per-slot sum over ALL its samples
+            sample=sel(new_sample, st["sample"]),
+            it=jnp.where(can_respawn, it_next, st["it"]),
+            depth=sel(jnp.zeros_like(depth), depth),
+            prev_spec=sel(jnp.zeros_like(res.was_specular), res.was_specular),
+            medium=sel(jnp.zeros_like(res.next_medium), res.next_medium),
+            alive=can_respawn | survive,
+            rays=nrays,
+        )
+
+    final = jax.lax.while_loop(cond, step, state)
+    return accum + final["radiance"], final["rays"]
