@@ -25,6 +25,13 @@ class RenderConfig:
     wavefront_pinned: bool = True  # slot==pixel wavefront (no scatter; lane
     # count = local pixel count).  False = free-slot queue engine with
     # wavefront_capacity lanes and cumsum-rank refill (lower memory).
+    # MEMORY: pinned path state is ~88 B/lane and scales with the LOCAL
+    # pixel count (a 4K frame/device is ~0.7 GB of HBM state); the queue
+    # engine's state is fixed at wavefront_capacity lanes.  Above
+    # wavefront_pinned_max_pixels the integrator auto-falls back to the
+    # queue engine (ADVICE r1).
+    wavefront_pinned_max_pixels: int = 1 << 21  # pinned-engine cutoff
+    # (2M pixels ~= 185 MB of path state per device)
     wavefront_capacity: int = 1 << 18  # path slots per device (queue engine)
     accum_dtype: str = "float32"  # HDR sum accumulator dtype
     compute_dtype: str = "float32"

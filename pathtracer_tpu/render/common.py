@@ -98,6 +98,26 @@ def shade_bounce(
     use_fused = cfg.fused
     if use_fused is None:
         use_fused = use_pallas and not scene.meshes and cfg.fast_rng
+    elif use_fused:
+        # explicit opt-in must still satisfy the kernel's preconditions:
+        # bounce_fused has no mesh traversal and hardwires the counter-hash
+        # RNG — honoring fused=True here would silently drop mesh geometry
+        # or silently swap the sample set (ADVICE r1).  Fall back loudly.
+        unsupported = []
+        if scene.meshes:
+            unsupported.append("scene has triangle meshes")
+        if not cfg.fast_rng:
+            unsupported.append("fast_rng=False")
+        if unsupported:
+            import warnings
+
+            warnings.warn(
+                "cfg.fused=True unsupported ("
+                + "; ".join(unsupported)
+                + ") — falling back to the split per-op path",
+                stacklevel=2,
+            )
+            use_fused = False
     if use_fused:
         # fully-fused bounce megakernel: the entire per-bounce physics in
         # one pallas_call (ops/bounce_pallas.py); bit-compatible RNG and

@@ -141,9 +141,11 @@ def render_linear(
     the loss if display-space loss is really wanted)."""
     from pathtracer_tpu.render.integrator import render_sample
 
-    # the fused Pallas intersection kernels are forward-only; gradients
-    # always go through the XLA sweep (ops/intersect.py)
-    cfg = dataclasses.replace(cfg, pallas=False)
+    # the fused Pallas kernels (intersection sweep AND bounce megakernel)
+    # are forward-only; gradients always go through the XLA sweep
+    # (ops/intersect.py) — reset both flags so an explicit fused=True
+    # can't reach a non-differentiable pallas_call under jax.grad
+    cfg = dataclasses.replace(cfg, pallas=False, fused=False)
     scene = build_scene(params, static)
     if pixel_index is None:
         w, h = static.resolution

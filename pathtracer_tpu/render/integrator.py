@@ -70,7 +70,7 @@ def _chunk_executable(cfg: RenderConfig, n_iters: int):
                 render_samples_wavefront,
             )
 
-            if cfg.wavefront_pinned:
+            if cfg.wavefront_pinned and n_pixels <= cfg.wavefront_pinned_max_pixels:
                 return render_samples_pinned(
                     scene, accum, start_iteration, n_iters, base_key, cfg
                 )

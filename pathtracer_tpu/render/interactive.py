@@ -34,6 +34,11 @@ MOVE_FRAC = 0.05  # dolly/truck step as a fraction of |view|
 ROT_DEG = 5.0  # pitch/yaw step
 ZOOM_DEG = 2.5  # fov step
 
+# every bare token the REPL understands (used to disambiguate "save [f]")
+_COMMANDS = frozenset(
+    "w s a d q e i k j l + - spp save reset stat help quit exit".split()
+)
+
 
 def _rotate(v, axis, deg):
     """Rodrigues rotation of ``v`` around unit ``axis`` by ``deg``."""
@@ -165,11 +170,25 @@ def interactive_loop(
     preview()
     n_cmds = 0
     for line in stdin:
-        for cmd in line.split():
+        tokens = line.split()
+        i = 0
+        while i < len(tokens):
+            cmd = tokens[i]
+            i += 1
             n_cmds += 1
             if max_commands is not None and n_cmds > max_commands:
                 return n_renders
             cmd_l = cmd.lower()
+            # two-token forms ("spp 32", "save out.png") fold the next
+            # token into the command; '=' forms stay supported
+            if cmd_l == "spp" and i < len(tokens):
+                cmd_l = f"spp={tokens[i]}"
+                i += 1
+            elif cmd_l == "save" and i < len(tokens) and tokens[i].lower() not in _COMMANDS:
+                # "save [f]": the filename is optional — only consume the
+                # next token when it isn't itself a command
+                cmd_l = f"save={tokens[i]}"
+                i += 1
             if cmd_l in ("quit", "exit", "\x1b"):
                 return n_renders
             if cmd_l == "help":
@@ -179,11 +198,12 @@ def interactive_loop(
             elif cmd_l == "reset":
                 rig.reset()
                 preview()
-            elif cmd_l == "spp":
-                pass  # handled with argument below via split pairs
             elif cmd_l.startswith("spp="):
-                preview_spp = max(1, int(cmd_l.split("=", 1)[1]))
-                emit(f"  preview spp = {preview_spp}")
+                try:
+                    preview_spp = max(1, int(cmd_l.split("=", 1)[1]))
+                    emit(f"  preview spp = {preview_spp}")
+                except ValueError:
+                    emit(f"  ? spp wants a number, got {cmd_l.split('=', 1)[1]!r}")
             elif cmd_l.startswith("save"):
                 target = (
                     cmd_l.split("=", 1)[1] if "=" in cmd_l else out_path
