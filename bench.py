@@ -21,6 +21,11 @@ import jax.numpy as jnp
 
 NAIVE_MEGAKERNEL_R1_MRAYS = 6.4  # round-1 masked megakernel, same chip
 
+# non-blocking regression floors (~55% of the current measured numbers —
+# a genuine regression trips the warning, chip-to-chip noise doesn't)
+FWD_MRAYS_FLOOR = 300.0
+FWD_BWD_MRAYS_FLOOR = 20.0  # round-2 measured 35.6 on v5e
+
 
 def main():
     from pathtracer_tpu.config import RenderConfig
@@ -53,29 +58,43 @@ def main():
     dt = time.perf_counter() - t0
     fwd_mrays = st["rays_traced"] / dt / 1e6
 
-    # fwd+bwd (differentiable mode) on a reduced config
+    # fwd+bwd (differentiable mode) at the BASELINE.md config: 800x800
+    # Cornell, depth 8.  Rays are MEASURED (the same alive-lane counter the
+    # forward engines report, plumbed through render_linear_rays); the
+    # convention is rays of ONE forward pass / wall time of the full
+    # value_and_grad step (the backward recompute is not double-counted).
     from pathtracer_tpu.render.diff import (
-        l2_loss,
-        loss_and_grad,
+        loss_and_grad_rays,
         params_from_description,
     )
 
-    gres = (128, 128) if quick else (400, 400)
+    gres = (128, 128) if quick else (800, 800)
     gdesc = dataclasses.replace(desc, resolution=gres)
     params, static = params_from_description(gdesc, 0)
     gcfg = RenderConfig(wavefront=False, nee=True, max_depth=8)
     gspp = 2 if quick else 4
     key = jax.random.PRNGKey(0)
     target = jnp.zeros((gres[0] * gres[1], 3), jnp.float32)
-    loss, grads = loss_and_grad(params, static, target, gspp, key, gcfg)
+    loss, grads, grays = loss_and_grad_rays(params, static, target, gspp, key, gcfg)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    loss, grads = loss_and_grad(params, static, target, gspp, key, gcfg)
+    loss, grads, grays = loss_and_grad_rays(params, static, target, gspp, key, gcfg)
     jax.block_until_ready(loss)
     dt_g = time.perf_counter() - t0
-    # rays in fwd+bwd: forward rays (2x for shadow) once fwd + once bwd recompute
-    fwd_rays_est = gres[0] * gres[1] * gspp * 2.0 * 3.0  # ~avg path len 3, x2 shadow
-    fwdbwd_mrays = 2.0 * fwd_rays_est / dt_g / 1e6
+    fwdbwd_mrays = float(grays) / dt_g / 1e6
+
+    # non-blocking perf regression floors (SURVEY §4.6): flag, don't fail
+    floors = {
+        "fwd_Mrays_floor": FWD_MRAYS_FLOOR,
+        "fwd_bwd_Mrays_floor": FWD_BWD_MRAYS_FLOOR,
+        "fwd_ok": bool(quick or fwd_mrays >= FWD_MRAYS_FLOOR),
+        "fwd_bwd_ok": bool(quick or fwdbwd_mrays >= FWD_BWD_MRAYS_FLOOR),
+    }
+    if not (floors["fwd_ok"] and floors["fwd_bwd_ok"]):
+        print(
+            f"WARNING: perf regression below floor: {floors}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -85,12 +104,16 @@ def main():
                 "unit": "Mrays/s",
                 "vs_baseline": round(fwd_mrays / NAIVE_MEGAKERNEL_R1_MRAYS, 2),
                 "extra": {
-                    "fwd_bwd_Mrays_per_s_est": round(fwdbwd_mrays, 2),
+                    "fwd_bwd_Mrays_per_s": round(fwdbwd_mrays, 2),
                     "fwd_bwd_step_s": round(dt_g, 3),
+                    "fwd_bwd_rays_measured": float(grays),
+                    "fwd_bwd_resolution": list(gres),
+                    "fwd_bwd_spp": gspp,
                     "fwd_wall_s": round(dt, 3),
                     "spp": spp,
                     "resolution": list(res),
                     "image_mean": round(float(jnp.mean(img)), 5),
+                    "floors": floors,
                 },
             }
         )

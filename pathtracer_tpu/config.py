@@ -43,3 +43,13 @@ class RenderConfig:
     fused: bool | None = None  # fully-fused bounce megakernel
     # (ops/bounce_pallas.py).  None = auto: on whenever the pallas path is
     # active, the scene has no meshes, and fast_rng is on.
+    grad_lean: bool = False  # gradient-lean intersection: winner search
+    # under stop_gradient (Pallas kernel when pallas is active), O(N)
+    # differentiable recompute of the winning primitive only, and a
+    # detached occlusion sweep.  Set by render/diff.py for the backward
+    # path; numerically equal to the full sweep a.e.
+    features: tuple = ("texture", "bump", "volumetric", "glossy")
+    # which optional physics blocks shade_bounce materializes.  Disabling
+    # a feature NO material in the scene uses is a pure no-op on the image
+    # but removes its ops (and their transposes) from the compiled graph —
+    # render/diff.py trims this automatically via features_for_scene().

@@ -110,47 +110,60 @@ def _aabb_hits_any(o_obj, inv_d, lo, hi, best_t, t_min):
     return jnp.any(hit)
 
 
-def _mt_chunk(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min):
-    """One 128-triangle Moeller-Trumbore pass updating (best_t, best_n) —
-    shared component-plane implementation (ops.intersect.mt_chunk_planes)."""
+def _mt_chunk(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min, best_i, base):
+    """One 128-triangle Moeller-Trumbore pass updating (best_t, best_n,
+    best_i) — shared component-plane implementation
+    (ops.intersect.mt_chunk_planes)."""
     from pathtracer_tpu.ops.intersect import mt_chunk_planes
 
-    return mt_chunk_planes(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min)
+    return mt_chunk_planes(
+        o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min,
+        best_i=best_i, base_index=base,
+    )
 
 
-def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4):
+def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4, with_index=False):
     """Accelerated nearest-triangle query: ``(t [N], n_obj [N, 3])`` with
     unnormalized face normals (BIG t = miss).  Drop-in replacement for the
-    dense sweep when a :class:`MeshAccel` is available."""
+    dense sweep when a :class:`MeshAccel` is available.  ``with_index``
+    adds the winning triangle's row in ``accel.chunks.reshape(-1, 3, 3)``
+    (Morton scan order)."""
     n = o_obj.shape[0]
+    chunk = accel.chunks.shape[1]
     inv_d = _safe_recip(d_obj)
     miss = (
         jnp.full((n,), BIG, jnp.float32),
         jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
     )
 
     def traverse(_):
+        base = jnp.arange(accel.chunks.shape[0], dtype=jnp.int32) * chunk
+
         def body(carry, xs):
-            best_t, best_n = carry
-            ch, lo, hi = xs
+            best_t, best_n, best_i = carry
+            ch, lo, hi, b = xs
             go = _aabb_hits_any(o_obj, inv_d, lo, hi, best_t, t_min)
             carry = jax.lax.cond(
                 go,
                 lambda c: _mt_chunk(
                     o_obj, d_obj,
                     ch[:, 0], ch[:, 1] - ch[:, 0], ch[:, 2] - ch[:, 0],
-                    c[0], c[1], t_min,
+                    c[0], c[1], t_min, c[2], b,
                 ),
                 lambda c: c,
                 carry,
             )
             return carry, None
 
-        out, _ = jax.lax.scan(body, miss, (accel.chunks, accel.lo, accel.hi))
+        out, _ = jax.lax.scan(body, miss, (accel.chunks, accel.lo, accel.hi, base))
         return out
 
     root_any = _aabb_hits_any(
         o_obj, inv_d, accel.root_lo, accel.root_hi,
         jnp.full((n,), BIG, jnp.float32), t_min,
     )
-    return jax.lax.cond(root_any, traverse, lambda _: miss, None)
+    t, nrm, idx = jax.lax.cond(root_any, traverse, lambda _: miss, None)
+    if with_index:
+        return t, nrm, idx
+    return t, nrm

@@ -224,12 +224,15 @@ def sample_bsdf(
     normal: jax.Array,
     incident: jax.Array,
     u: jax.Array,
+    glossy: bool = True,
 ) -> ScatterSample:
     """Sample an outgoing direction + throughput multiplier per ray.
 
     ``u``: ``[N, 3]`` uniforms (xi1, xi2 for the hemisphere, xi3 for the
     Fresnel lobe choice).  ``normal`` is the geometric world normal (may
     face either way); ``incident`` the unit incoming direction.
+    ``glossy=False`` drops the Phong lobe from the graph (feature gating,
+    RenderConfig.features) — only valid when no material has SPECEX > 0.
     """
     # orient shading normal against the incident ray; remember if we are
     # inside the object (entering vs exiting a dielectric)
@@ -248,17 +251,21 @@ def sample_bsdf(
     # mirror direction; estimator weight (n+2)/(n+1) * cos(theta_out) for
     # the rho_s (n+2)/(2pi) cos^n BRDF under its own lobe pdf.  Samples
     # falling under the surface are killed (zero weight).
-    exp_n = jnp.maximum(mat.specular_exponent, 1e-6)
-    cos_alpha = jnp.clip(u[..., 0], 1e-9) ** (1.0 / (exp_n + 1.0))
-    d_glossy = _rotate_about(
-        d_mirror, cos_alpha, u[..., 1] * 2.0 * jnp.pi
-    )
-    glossy_cos_out = jnp.sum(d_glossy * n, axis=-1)
-    glossy_weight = jnp.where(
-        glossy_cos_out > 0.0,
-        (exp_n + 2.0) / (exp_n + 1.0) * jnp.clip(glossy_cos_out, 0.0, 1.0),
-        0.0,
-    )
+    if glossy:
+        exp_n = jnp.maximum(mat.specular_exponent, 1e-6)
+        cos_alpha = jnp.clip(u[..., 0], 1e-9) ** (1.0 / (exp_n + 1.0))
+        d_glossy = _rotate_about(
+            d_mirror, cos_alpha, u[..., 1] * 2.0 * jnp.pi
+        )
+        glossy_cos_out = jnp.sum(d_glossy * n, axis=-1)
+        glossy_weight = jnp.where(
+            glossy_cos_out > 0.0,
+            (exp_n + 2.0) / (exp_n + 1.0) * jnp.clip(glossy_cos_out, 0.0, 1.0),
+            0.0,
+        )
+    else:
+        d_glossy = d_mirror
+        glossy_weight = jnp.ones(mat.specular_exponent.shape, jnp.float32)
 
     # --- dielectric: Fresnel-weighted reflect/transmit
     ior_i = jnp.where(entering, 1.0, mat.ior)
@@ -273,7 +280,10 @@ def sample_bsdf(
 
     is_refractive = mat.has_refractive > 0.0
     is_reflective = (~is_refractive) & (mat.has_reflective > 0.0)
-    is_glossy = is_reflective & (mat.specular_exponent > 0.0)
+    if glossy:
+        is_glossy = is_reflective & (mat.specular_exponent > 0.0)
+    else:
+        is_glossy = jnp.zeros(is_reflective.shape, bool)
     is_mirror = is_reflective & (~is_glossy)
     is_specular = is_refractive | is_reflective
 

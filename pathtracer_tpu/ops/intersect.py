@@ -197,9 +197,8 @@ def select_rows(onehot: jax.Array, table: jax.Array) -> jax.Array:
     return out.reshape((onehot.shape[0],) + table.shape[1:])
 
 
-def mt_chunk_planes(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min=T_MIN):
-    """One Moeller-Trumbore pass of ``[N rays] x [chunk tris]`` updating
-    the running nearest hit ``(best_t [N], best_n [N, 3])``.
+def mt_chunk_t(o_obj, d_obj, cv0, ce1, ce2, t_min=T_MIN):
+    """Raw Moeller-Trumbore t-matrix ``[N rays, chunk tris]`` (BIG = miss).
 
     Written as **component planes**: every intermediate is ``[N, chunk]``
     (full-width (8,128) vector tiles).  The naive broadcastped
@@ -232,7 +231,19 @@ def mt_chunk_planes(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min=T_MIN):
         & (v >= 0.0) & (u + v <= 1.0)
         & (t > t_min)
     )
-    t = jnp.where(ok, t, BIG)
+    return jnp.where(ok, t, BIG)
+
+
+def mt_chunk_planes(
+    o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min=T_MIN,
+    best_i=None, base_index=None,
+):
+    """One Moeller-Trumbore pass of ``[N rays] x [chunk tris]`` updating
+    the running nearest hit ``(best_t [N], best_n [N, 3])`` — and, when
+    ``best_i``/``base_index`` are given, the winning triangle index
+    ``best_i [N] = base_index + argmin`` (index into the caller's
+    scan-order triangle array; used by the gradient-lean recompute)."""
+    t = mt_chunk_t(o_obj, d_obj, cv0, ce1, ce2, t_min)
     idx = jnp.argmin(t, axis=-1)  # [N]
     t_best_chunk = jnp.min(t, axis=-1)
     n_chunk = jnp.cross(ce1, ce2)  # [C, 3] face normals (small)
@@ -240,17 +251,21 @@ def mt_chunk_planes(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min=T_MIN):
     better = t_best_chunk < best_t
     best_n = jnp.where(better[:, None], n_pick, best_n)
     best_t = jnp.minimum(best_t, t_best_chunk)
-    return best_t, best_n
+    if best_i is None:
+        return best_t, best_n
+    best_i = jnp.where(better, base_index + idx.astype(jnp.int32), best_i)
+    return best_t, best_n, best_i
 
 
-def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128):
+def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128, with_index=False):
     """Nearest triangle hit for object-space rays against a mesh.
 
     Moeller-Trumbore over all triangles, scanned in fixed-size chunks so
     the [N, T] intermediates never materialize beyond [N, chunk] (XLA
     fuses each chunk into one VPU pass).  Returns ``(t [N], n_obj [N,3])``
-    with unnormalized face normals (normalized downstream).  This is the
-    realization of the reference's empty MESH branch
+    with unnormalized face normals (normalized downstream); with
+    ``with_index`` also the winning triangle row in ``tri_verts``.  This
+    is the realization of the reference's empty MESH branch
     (raytraceKernel.cu:144-145).
     """
     n = o_obj.shape[0]
@@ -261,32 +276,55 @@ def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128):
         tri_verts = jnp.concatenate(
             [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
         )
+    n_chunks = tri_verts.shape[0] // chunk
     tri_chunks = tri_verts.reshape(-1, chunk, 3, 3)
 
     v0 = tri_chunks[:, :, 0]
     e1 = tri_chunks[:, :, 1] - tri_chunks[:, :, 0]
     e2 = tri_chunks[:, :, 2] - tri_chunks[:, :, 0]
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
 
-    def body(carry, tri):
-        cv0, ce1, ce2 = tri  # [chunk, 3] each
+    def body(carry, xs):
+        cv0, ce1, ce2, b = xs  # [chunk, 3] each + scalar chunk base
         return mt_chunk_planes(
-            o_obj, d_obj, cv0, ce1, ce2, carry[0], carry[1], t_min
+            o_obj, d_obj, cv0, ce1, ce2, carry[0], carry[1], t_min,
+            best_i=carry[2], base_index=b,
         ), None
 
-    init = (jnp.full((n,), BIG, jnp.float32), jnp.zeros((n, 3), jnp.float32))
-    (best_t, best_n), _ = jax.lax.scan(body, init, (v0, e1, e2))
+    init = (
+        jnp.full((n,), BIG, jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+    )
+    (best_t, best_n, best_i), _ = jax.lax.scan(body, init, (v0, e1, e2, base))
+    if with_index:
+        return best_t, best_n, best_i
     return best_t, best_n
 
 
-def mesh_query(m, o_obj, d_obj, t_min=T_MIN):
+def mesh_query(m, o_obj, d_obj, t_min=T_MIN, with_index=False):
     """Nearest-triangle query for one MeshInstance: chunked-LBVH traversal
     when the instance carries an accel (ops/accel.py), dense sweep
-    otherwise."""
+    otherwise.  With ``with_index``, also returns the winning triangle's
+    row in :func:`mesh_scan_verts`' array (scan order)."""
     if m.accel is not None:
         from pathtracer_tpu.ops.accel import mesh_t_and_normal_accel
 
-        return mesh_t_and_normal_accel(o_obj, d_obj, m.accel, t_min)
-    return mesh_t_and_normal(o_obj, d_obj, m.tri_verts, t_min)
+        return mesh_t_and_normal_accel(
+            o_obj, d_obj, m.accel, t_min, with_index=with_index
+        )
+    return mesh_t_and_normal(
+        o_obj, d_obj, m.tri_verts, t_min, with_index=with_index
+    )
+
+
+def mesh_scan_verts(m) -> jax.Array:
+    """The triangle array, ``[T', 3, 3]``, that :func:`mesh_query`'s
+    ``with_index`` indices refer to (Morton scan order for accel'd
+    meshes, file order otherwise)."""
+    if m.accel is not None:
+        return m.accel.chunks.reshape(-1, 3, 3)
+    return m.tri_verts
 
 
 def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> Hit:
@@ -344,4 +382,184 @@ def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -
         position=p_world,
         position_obj=p_obj,
         normal=n_world,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-lean nearest hit (render/diff.py backward path).
+#
+# jax.grad of :func:`intersect_scene` transposes the entire O(N*G) sweep
+# (and the O(N*T) mesh scan).  But the *winner* is discrete: locally, the
+# differentiable quantity is just the winning primitive's t.  So: find the
+# winner with gradients stopped (optionally on the fused Pallas kernel —
+# zero tangents mean jax never needs its missing JVP rule), then re-derive
+# t / hit frame for the winning geom only — an O(N) recompute whose
+# transpose is what backward actually pays for.  Equal to intersect_scene
+# almost everywhere (identical formulas on the argmin branch).
+# ---------------------------------------------------------------------------
+
+
+def mt_single(o_obj, d_obj, tri, t_min=T_MIN):
+    """Differentiable Moeller-Trumbore of ray i against triangle i.
+    ``tri``: [N, 3, 3].  Returns ``(t [N], n_obj [N, 3] unnormalized)``."""
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    h = jnp.cross(d_obj, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = _safe_recip(a)
+    s = o_obj - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(d_obj * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    ok = (
+        (jnp.abs(a) > 1e-12)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    return jnp.where(ok, t, BIG), jnp.cross(e1, e2)
+
+
+def occlusion_t(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> jax.Array:
+    """Nearest ``t`` per ray over all geometry (BIG = clear) — the
+    distance-only XLA sweep for shadow rays."""
+    t = jnp.min(intersect_t_sweep(rays, geoms, t_min), axis=-1)
+    for m in meshes:
+        inv = geoms.inv_transform[m.geom_index]
+        o_obj = transform_point(inv, rays.origin)
+        d_obj = transform_dir(inv, rays.direction)
+        mt, _ = mesh_query(m, o_obj, d_obj, t_min)
+        t = jnp.minimum(t, mt)
+    return t
+
+
+def intersect_scene_lean(
+    rays: Rays,
+    geoms: Geoms,
+    meshes: tuple = (),
+    t_min=T_MIN,
+    use_pallas_winner: bool = False,
+    interpret: bool = False,
+) -> Hit:
+    """Nearest-hit query whose backward cost is O(N), not O(N·G + N·T).
+
+    Numerically equal to :func:`intersect_scene` a.e. (same formulas on
+    the winning branch); gradients flow to the winner's transform rows,
+    the ray, and — for mesh winners — the winning triangle's vertices.
+    ``use_pallas_winner`` runs the winner search on the fused Pallas
+    kernel (forward-only is fine: its inputs carry zero tangents)."""
+    sg = jax.lax.stop_gradient
+    rays_sg = Rays(origin=sg(rays.origin), direction=sg(rays.direction))
+    geoms_sg = Geoms(
+        type=geoms.type,
+        material_id=geoms.material_id,
+        transform=sg(geoms.transform),
+        inv_transform=sg(geoms.inv_transform),
+    )
+
+    # ---- 1. winner search, gradient-free
+    if use_pallas_winner:
+        from pathtracer_tpu.ops.intersect_pallas import winner_t_gid_planes
+
+        t_win, geom_id = winner_t_gid_planes(rays_sg, geoms_sg, interpret=interpret)
+    else:
+        t_all = intersect_t_sweep(rays_sg, geoms_sg, t_min)
+        geom_id = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+        t_win = jnp.min(t_all, axis=-1)
+    mesh_tri_idx = {}
+    for m in meshes:
+        gi = m.geom_index
+        inv_g = geoms_sg.inv_transform[gi]
+        o_mesh = transform_point(inv_g, rays_sg.origin)
+        d_mesh = transform_dir(inv_g, rays_sg.direction)
+        m_sg = jax.tree_util.tree_map(sg, m)
+        mt, _, mi = mesh_query(m_sg, o_mesh, d_mesh, t_min, with_index=True)
+        better = mt < t_win
+        t_win = jnp.where(better, mt, t_win)
+        geom_id = jnp.where(better, gi, geom_id)
+        mesh_tri_idx[gi] = mi
+    hit = t_win < BIG
+
+    # ---- 2. differentiable recompute for the winning geom only —
+    # written on component planes ([N] arrays end to end): [N, 3]
+    # intermediates pad their minor dimension of 3 to the TPU's 128 lanes,
+    # which costs ~40x VPU waste in BOTH the recompute and its transpose
+    hp = jax.lax.Precision.HIGHEST
+    onehot = jax.nn.one_hot(geom_id, geoms.count, dtype=jnp.float32)
+    inv16 = geoms.inv_transform.reshape(geoms.count, 16)
+    rows = jnp.matmul(onehot, inv16, precision=hp)  # [N, 16]
+    m_ = [rows[:, k] for k in range(12)]
+    ox, oy, oz = rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2]
+    dx, dy, dz = rays.direction[:, 0], rays.direction[:, 1], rays.direction[:, 2]
+    oox = m_[0] * ox + m_[1] * oy + m_[2] * oz + m_[3]
+    ooy = m_[4] * ox + m_[5] * oy + m_[6] * oz + m_[7]
+    ooz = m_[8] * ox + m_[9] * oy + m_[10] * oz + m_[11]
+    odx = m_[0] * dx + m_[1] * dy + m_[2] * dz
+    ody = m_[4] * dx + m_[5] * dy + m_[6] * dz
+    odz = m_[8] * dx + m_[9] * dy + m_[10] * dz
+
+    is_sphere = onehot @ (geoms.type == SPHERE).astype(jnp.float32)
+    is_cube = onehot @ (geoms.type == CUBE).astype(jnp.float32)
+    material_id = (onehot @ geoms.material_id.astype(jnp.float32)).astype(jnp.int32)
+
+    ts = sphere_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
+    tc = cube_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
+    t_re = jnp.where(is_sphere > 0.5, ts, jnp.where(is_cube > 0.5, tc, BIG))
+    mesh_normals = []  # (geom_index, unnormalized n_obj [N, 3])
+    if meshes:
+        o_obj3 = jnp.stack([oox, ooy, ooz], axis=-1)
+        d_obj3 = jnp.stack([odx, ody, odz], axis=-1)
+        for m in meshes:
+            gi = m.geom_index
+            verts = mesh_scan_verts(m)[sg(mesh_tri_idx[gi])]  # [N, 3, 3] gather
+            mt_re, mn = mt_single(o_obj3, d_obj3, verts, t_min)
+            sel = geom_id == gi
+            t_re = jnp.where(sel, mt_re, t_re)
+            mesh_normals.append((gi, mn))
+    # boundary-rounding safety: if the winner-only recompute disagrees with
+    # the sweep about hitting at all, fall back to the (detached) sweep t
+    t = jnp.where(t_re < BIG, t_re, t_win)
+
+    t_safe = jnp.where(hit, t, 1.0)
+    px, py, pz = ox + t_safe * dx, oy + t_safe * dy, oz + t_safe * dz
+    pox = oox + t_safe * odx
+    poy = ooy + t_safe * ody
+    poz = ooz + t_safe * odz
+
+    # object-space normal on planes: sphere = radial (differentiable);
+    # cube = argmax-|coord| face (piecewise constant — zero gradient, same
+    # as cube_normal_obj's one-hot*sign construction)
+    axx, axy, axz = jnp.abs(pox), jnp.abs(poy), jnp.abs(poz)
+    fx = (axx >= axy) & (axx >= axz)
+    fy = (~fx) & (axy >= axz)
+    inv_len = jax.lax.rsqrt(jnp.maximum(pox**2 + poy**2 + poz**2, 1e-24))
+    sph = is_sphere > 0.5
+    nxo = jnp.where(sph, pox * inv_len, jnp.where(fx, jnp.sign(pox), 0.0))
+    nyo = jnp.where(sph, poy * inv_len, jnp.where(fy, jnp.sign(poy), 0.0))
+    nzo = jnp.where(
+        sph, poz * inv_len, jnp.where(fx | fy, 0.0, jnp.sign(poz))
+    )
+    for gi, mn in mesh_normals:
+        sel = geom_id == gi
+        mn_len = jax.lax.rsqrt(jnp.maximum(jnp.sum(mn * mn, axis=-1), 1e-24))
+        nxo = jnp.where(sel, mn[:, 0] * mn_len, nxo)
+        nyo = jnp.where(sel, mn[:, 1] * mn_len, nyo)
+        nzo = jnp.where(sel, mn[:, 2] * mn_len, nzo)
+
+    # world normal: inverse-transpose rows (transform_normal, on planes)
+    nwx = m_[0] * nxo + m_[4] * nyo + m_[8] * nzo
+    nwy = m_[1] * nxo + m_[5] * nyo + m_[9] * nzo
+    nwz = m_[2] * nxo + m_[6] * nyo + m_[10] * nzo
+    inv_n = jax.lax.rsqrt(jnp.maximum(nwx**2 + nwy**2 + nwz**2, 1e-24))
+
+    return Hit(
+        t=t,
+        hit=hit,
+        geom_id=geom_id,
+        material_id=material_id,
+        position=jnp.stack([px, py, pz], axis=-1),
+        position_obj=jnp.stack([pox, poy, poz], axis=-1),
+        normal=jnp.stack([nwx * inv_n, nwy * inv_n, nwz * inv_n], axis=-1),
     )

@@ -145,6 +145,48 @@ def _nearest_hit_kernel(
     nx_ref[:], ny_ref[:], nz_ref[:] = nwx * inv_n, nwy * inv_n, nwz * inv_n
 
 
+def _winner_kernel(
+    gdata_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    t_ref, gid_ref,
+    *, n_geoms: int, t_min: float,
+):
+    """Winner-only nearest hit: best t + geom id, no hit frame.  The
+    gradient-lean path (ops/intersect.intersect_scene_lean) re-derives the
+    frame for the winner differentiably, so emitting the 10 frame planes
+    here would be wasted bandwidth."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    best_t = jnp.full(ox.shape, BIG, jnp.float32)
+    gid = jnp.zeros(ox.shape, jnp.int32)
+    for g in range(n_geoms):
+        t_g, _ = _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min)
+        better = t_g < best_t
+        best_t = jnp.where(better, t_g, best_t)
+        gid = jnp.where(better, g, gid)
+    t_ref[:] = best_t
+    gid_ref[:] = gid
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def winner_t_gid_planes(rays: Rays, geoms: Geoms, interpret: bool = False):
+    """Winner search only: ``(t [N], geom_id [N])`` over analytic geoms."""
+    comps, n, rows = _planes(rays)
+    gdata = _pack_gdata(geoms)
+    grid, gspec, plane = _specs(rows)
+    t, gid = pl.pallas_call(
+        functools.partial(_winner_kernel, n_geoms=geoms.count, t_min=T_MIN),
+        grid=grid,
+        in_specs=[gspec] + [plane] * 6,
+        out_specs=(plane, plane),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(gdata, *comps)
+    return t.reshape(-1)[:n], gid.reshape(-1)[:n]
+
+
 def _occlusion_kernel(
     gdata_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
     *, n_geoms: int, t_min: float,

@@ -96,7 +96,9 @@ def shade_bounce(
         use_pallas = jax.default_backend() == "tpu"
     interp_all = jax.default_backend() != "tpu"
     use_fused = cfg.fused
-    if use_fused is None:
+    if cfg.grad_lean:
+        use_fused = False  # the fused kernel has no gradient path
+    elif use_fused is None:
         use_fused = use_pallas and not scene.meshes and cfg.fast_rng
     elif use_fused:
         # explicit opt-in must still satisfy the kernel's preconditions:
@@ -131,7 +133,14 @@ def shade_bounce(
             depth, prev_specular, medium_sigma, base_key, cfg,
             interpret=interp_all,
         )
-    if use_pallas:
+    if cfg.grad_lean:
+        from pathtracer_tpu.ops.intersect import intersect_scene_lean
+
+        hit = intersect_scene_lean(
+            rays, scene.geoms, scene.meshes,
+            use_pallas_winner=use_pallas, interpret=interp_all,
+        )
+    elif use_pallas:
         from pathtracer_tpu.ops.intersect_pallas import (
             intersect_scene_pallas,
             occlusion_scene_pallas,
@@ -147,21 +156,24 @@ def shade_bounce(
     emissive = mat.emittance > 0.0
 
     # ---- procedural solid texture (elective): checker / stripes evaluated
-    # in the hit geom's object space, modulating the diffuse albedo
+    # in the hit geom's object space, modulating the diffuse albedo.
+    # Feature-gated: scenes with no textured material skip the whole block
+    # (and, under grad, its transpose) — see RenderConfig.features.
     import dataclasses as _dc
 
-    cells = jnp.floor(hit.position_obj * mat.texture_scale[:, None])
-    checker = jnp.mod(cells[:, 0] + cells[:, 1] + cells[:, 2], 2.0)
-    stripes = jnp.mod(cells[:, 0], 2.0)
-    pattern = jnp.where(mat.texture_type > 1.5, stripes, checker)
-    textured = (mat.texture_type > 0.5) & (pattern > 0.5)
-    albedo = jnp.where(textured[:, None], mat.texture_color2, mat.color)
-    mat = _dc.replace(mat, color=albedo)
+    if "texture" in cfg.features:
+        cells = jnp.floor(hit.position_obj * mat.texture_scale[:, None])
+        checker = jnp.mod(cells[:, 0] + cells[:, 1] + cells[:, 2], 2.0)
+        stripes = jnp.mod(cells[:, 0], 2.0)
+        pattern = jnp.where(mat.texture_type > 1.5, stripes, checker)
+        textured = (mat.texture_type > 0.5) & (pattern > 0.5)
+        albedo = jnp.where(textured[:, None], mat.texture_color2, mat.color)
+        mat = _dc.replace(mat, color=albedo)
 
     # ---- procedural bump mapping (elective): tangential sinusoidal
     # perturbation of the shading normal, frequency/amplitude per material
     bump_on = mat.bump_scale > 0.0
-    if True:
+    if "bump" in cfg.features:
         n0 = hit.normal
         ax = jnp.abs(n0)
         use_x = ax[:, 0] < 0.577
@@ -195,20 +207,28 @@ def shade_bounce(
 
     u = bounce_uniforms(base_key, sample_idx, depth, cfg.fast_rng)
 
-    # ---- volumetric free path: distance to the next scatter event;
-    # effectively infinite in non-scattering media
-    free_path = jnp.where(
-        sigma_s > 0.0,
-        -jnp.log(jnp.clip(1.0 - jax.lax.stop_gradient(u[:, 8]), 1e-7, 1.0))
-        / jnp.maximum(sigma_s, 1e-12),
-        jnp.float32(1e30),
-    )
-    vol_scatter = hit.hit & (free_path < hit.t)
+    has_vol = "volumetric" in cfg.features
+    if has_vol:
+        # ---- volumetric free path: distance to the next scatter event;
+        # effectively infinite in non-scattering media
+        free_path = jnp.where(
+            sigma_s > 0.0,
+            -jnp.log(jnp.clip(1.0 - jax.lax.stop_gradient(u[:, 8]), 1e-7, 1.0))
+            / jnp.maximum(sigma_s, 1e-12),
+            jnp.float32(1e30),
+        )
+        vol_scatter = hit.hit & (free_path < hit.t)
 
-    # Beer-Lambert attenuation over the segment actually traveled
-    seg = jnp.where(vol_scatter, free_path, jnp.where(hit.hit, hit.t, 0.0))
-    atten = jnp.exp(-sigma_a * seg[:, None])
-    throughput = throughput * atten
+        # Beer-Lambert attenuation over the segment actually traveled
+        seg = jnp.where(vol_scatter, free_path, jnp.where(hit.hit, hit.t, 0.0))
+        atten = jnp.exp(-sigma_a * seg[:, None])
+        throughput = throughput * atten
+    else:
+        # feature-gated off: vacuum transport (exactly what zero sigmas
+        # compute, minus the exp/log ops and their transposes)
+        free_path = jnp.full(sigma_s.shape, 1e30, jnp.float32)
+        vol_scatter = jnp.zeros(sigma_s.shape, bool)
+        atten = jnp.ones_like(throughput)
 
     # ---- emittance on BSDF hit.  With NEE, count only where no NEE could
     # have sampled this light: primary rays and post-specular bounces.
@@ -223,7 +243,10 @@ def shade_bounce(
     )
 
     # ---- BSDF continuation sample
-    scatter = sample_bsdf(mat, hit.position, hit.normal, rays.direction, u[:, 0:3])
+    scatter = sample_bsdf(
+        mat, hit.position, hit.normal, rays.direction, u[:, 0:3],
+        glossy="glossy" in cfg.features,
+    )
 
     # ---- next-event estimation at diffuse hits
     if cfg.nee:
@@ -242,14 +265,36 @@ def shade_bounce(
         candidate = diffuse_lane & ls.valid & (cos_x > 0) & (cos_y > 0)
 
         # shadow ray (the second intersect sweep of the bounce); with
-        # pallas, a distance-only occlusion kernel (no hit frame needed)
-        shadow = Rays(origin=x, direction=wi)
-        if use_pallas:
+        # pallas, a distance-only occlusion kernel (no hit frame needed).
+        # Visibility is boolean — zero gradient by construction — so in
+        # grad_lean mode the whole query runs on detached inputs (no
+        # residuals, no transpose, and the Pallas kernel needs no JVP).
+        if cfg.grad_lean:
+            from pathtracer_tpu.ops.intersect import occlusion_t
+
+            sg = jax.lax.stop_gradient
+            shadow = Rays(origin=sg(x), direction=sg(wi))
+            geoms_sg = jax.tree_util.tree_map(sg, scene.geoms)
+            meshes_sg = jax.tree_util.tree_map(sg, scene.meshes)
+            if use_pallas:
+                from pathtracer_tpu.ops.intersect_pallas import (
+                    occlusion_scene_pallas,
+                )
+
+                occ_t = occlusion_scene_pallas(
+                    shadow, geoms_sg, meshes_sg, interpret=interp_all
+                )
+            else:
+                occ_t = occlusion_t(shadow, geoms_sg, meshes_sg)
+            visible = occ_t >= sg(dist) - 4.0 * RAY_BIAS
+        elif use_pallas:
+            shadow = Rays(origin=x, direction=wi)
             occ_t = occlusion_scene_pallas(
                 shadow, scene.geoms, scene.meshes, interpret=interp
             )
             visible = occ_t >= dist - 4.0 * RAY_BIAS
         else:
+            shadow = Rays(origin=x, direction=wi)
             occ = intersect_scene(shadow, scene.geoms, scene.meshes)
             visible = (~occ.hit) | (occ.t >= dist - 4.0 * RAY_BIAS)
 
@@ -264,6 +309,19 @@ def shade_bounce(
             (candidate & visible)[:, None], nee, 0.0
         )
 
+    terminate = (~hit.hit) | (emissive & (~vol_scatter))
+    if not has_vol:
+        return BounceResult(
+            contrib=contrib,
+            next_origin=scatter.origin,
+            next_direction=scatter.direction,
+            throughput_mult=scatter.throughput_mult,
+            terminate=terminate,
+            was_specular=scatter.is_specular,
+            rr_uniform=u[:, 3],
+            next_medium=medium_sigma,
+        )
+
     # ---- in-medium scatter event: isotropic phase function at the
     # sampled interior point; stays in the same medium, no NEE/emission
     from pathtracer_tpu.ops.bsdf import uniform_sphere
@@ -271,7 +329,6 @@ def shade_bounce(
     vol_pos = rays.origin + free_path[:, None] * rays.direction
     vol_dir = uniform_sphere(u[:, 9], u[:, 10])
 
-    terminate = (~hit.hit) | (emissive & (~vol_scatter))
     surf_medium = jnp.concatenate(
         [
             jnp.where(

@@ -60,6 +60,10 @@ class SceneParams:
     cam_fov: jax.Array  # [2]
     cam_aperture: jax.Array  # []
     cam_focal: jax.Array  # []
+    mesh_verts: tuple = ()  # tuple of [T, 3, 3] object-space vertices, one
+    # per MESH geom (gradients flow to vertices AND, via TRS, to the
+    # instance transform) — realizes the reference's MESH branch
+    # (raytraceKernel.cu:144-145) in differentiable mode
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,16 +73,20 @@ class SceneStatic:
     geom_type: tuple  # ints
     geom_material: tuple  # ints
     resolution: tuple
+    mesh_geom_indices: tuple = ()  # geom slot of each mesh_verts entry
 
 
 def params_from_description(desc, frame: int = 0):
     """SceneDescription -> (SceneParams, SceneStatic)."""
     from pathtracer_tpu.ops.camera import derive_fov
 
-    if any(t is not None for t in (desc.mesh_tris or ())):
-        raise NotImplementedError(
-            "differentiable mode does not support triangle meshes yet"
-        )
+    mesh_tris = desc.mesh_tris or ()
+    mesh_verts = tuple(
+        jnp.asarray(t, jnp.float32) for t in mesh_tris if t is not None
+    )
+    mesh_geom_indices = tuple(
+        g for g, t in enumerate(mesh_tris) if t is not None
+    )
 
     mats = Materials(
         **{k: jnp.asarray(v, jnp.float32) for k, v in desc.materials.items()}
@@ -96,17 +104,26 @@ def params_from_description(desc, frame: int = 0):
         ),
         cam_aperture=jnp.asarray(desc.aperture, jnp.float32),
         cam_focal=jnp.asarray(desc.focal_distance, jnp.float32),
+        mesh_verts=mesh_verts,
     )
     static = SceneStatic(
         geom_type=tuple(int(t) for t in desc.geom_type),
         geom_material=tuple(int(m) for m in desc.geom_material),
         resolution=tuple(desc.resolution),
+        mesh_geom_indices=mesh_geom_indices,
     )
     return params, static
 
 
 def build_scene(params: SceneParams, static: SceneStatic) -> Scene:
-    """Differentiable scene assembly: TRS -> matrices inside the graph."""
+    """Differentiable scene assembly: TRS -> matrices inside the graph.
+
+    Mesh instances are built WITHOUT an accel structure: the LBVH is a
+    host-side build over detached vertices, so diff mode keeps the dense
+    (chunk-scanned) sweep for the winner search and the per-winning-
+    triangle recompute for gradients (ops/intersect.py lean path)."""
+    from pathtracer_tpu.scene.structs import MeshInstance
+
     t, inv = build_transform(params.translations, params.rotations, params.scales)
     geoms = Geoms(
         type=jnp.asarray(static.geom_type, jnp.int32),
@@ -123,7 +140,91 @@ def build_scene(params: SceneParams, static: SceneStatic) -> Scene:
         aperture=params.cam_aperture,
         focal_distance=params.cam_focal,
     )
-    return Scene(geoms=geoms, materials=params.materials, camera=cam)
+    meshes = tuple(
+        MeshInstance(geom_index=gi, tri_verts=v, accel=None)
+        for gi, v in zip(static.mesh_geom_indices, params.mesh_verts)
+    )
+    return Scene(geoms=geoms, materials=params.materials, camera=cam, meshes=meshes)
+
+
+def render_linear_rays(
+    params: SceneParams,
+    static: SceneStatic,
+    spp: int,
+    base_key: jax.Array,
+    cfg: RenderConfig,
+    pixel_index: jax.Array | None = None,
+    n_global_pixels: int | None = None,
+):
+    """Differentiable *linear* (pre-tonemap) image estimate ``[N, 3]`` —
+    the mean of ``spp`` progressive samples — plus the **measured** number
+    of rays traced in one forward pass (primary + bounce + shadow; the
+    same counter the forward engines report).  Linear radiance, because
+    the gamma curve has unbounded gradient at 0 (use :func:`tonemap`
+    outside the loss if display-space loss is really wanted).
+
+    Engine split (the round-2 fwd+bwd speed work):
+
+    * **Backward** always linearizes the gradient-lean XLA graph
+      (``grad_lean=True``: stop-gradient winner search — on the fused
+      Pallas kernel when on TPU — + O(N) winner-only recompute).
+    * **Primal forward** on TPU additionally runs the fast forward path
+      (fused Pallas bounce kernel) under a ``jax.custom_vjp`` whose bwd
+      re-traces the lean graph — the two paths are RNG-bit-compatible and
+      formula-identical, so this is exactly ``jax.checkpoint`` with a
+      ~10x faster primal.
+    """
+    from pathtracer_tpu.render.integrator import render_sample
+
+    cfg_bwd = dataclasses.replace(cfg, fused=False, grad_lean=True)
+    scene = build_scene(params, static)
+    if pixel_index is None:
+        w, h = static.resolution
+        pixel_index = jax.lax.iota(jnp.int32, w * h)
+    n_glob = n_global_pixels
+
+    fast_primal = jax.default_backend() == "tpu" and cfg.fast_rng
+    if fast_primal:
+        cfg_fwd = dataclasses.replace(cfg, grad_lean=False)
+
+        @jax.custom_vjp
+        def sample(scene, pix, it, key):
+            return render_sample(scene, pix, it, key, cfg_fwd, n_global_pixels=n_glob)
+
+        def sample_fwd(scene, pix, it, key):
+            return sample(scene, pix, it, key), (scene, pix, it, key)
+
+        def sample_bwd(res, g):
+            scene, pix, it, key = res
+            g_rad, _g_nrays = g
+            _, vjp = jax.vjp(
+                lambda s: render_sample(
+                    s, pix, it, key, cfg_bwd, n_global_pixels=n_glob
+                )[0],
+                scene,
+            )
+            (g_scene,) = vjp(g_rad)
+            return g_scene, None, None, None
+
+        sample.defvjp(sample_fwd, sample_bwd)
+    else:
+        # CPU / slow-RNG: lean graph for both primal and backward, with
+        # one rematerialization per progressive iteration
+        @jax.checkpoint
+        def sample(scene, pix, it, key):
+            return render_sample(scene, pix, it, key, cfg_bwd, n_global_pixels=n_glob)
+
+    def one_iter(carry, it):
+        acc, nrays = carry
+        radiance, n = sample(scene, pixel_index, it, base_key)
+        return (acc + radiance, nrays + n), None
+
+    (total, rays), _ = jax.lax.scan(
+        one_iter,
+        (jnp.zeros((pixel_index.shape[0], 3), jnp.float32), jnp.float32(0.0)),
+        jax.lax.iota(jnp.int32, spp),
+    )
+    return total / spp, rays
 
 
 def render_linear(
@@ -135,35 +236,27 @@ def render_linear(
     pixel_index: jax.Array | None = None,
     n_global_pixels: int | None = None,
 ) -> jax.Array:
-    """Differentiable *linear* (pre-tonemap) image estimate ``[N, 3]`` —
-    the mean of ``spp`` progressive samples.  Linear radiance, because the
-    gamma curve has unbounded gradient at 0 (use :func:`tonemap` outside
-    the loss if display-space loss is really wanted)."""
-    from pathtracer_tpu.render.integrator import render_sample
+    """:func:`render_linear_rays` without the ray counter."""
+    return render_linear_rays(
+        params, static, spp, base_key, cfg, pixel_index, n_global_pixels
+    )[0]
 
-    # the fused Pallas kernels (intersection sweep AND bounce megakernel)
-    # are forward-only; gradients always go through the XLA sweep
-    # (ops/intersect.py) — reset both flags so an explicit fused=True
-    # can't reach a non-differentiable pallas_call under jax.grad
-    cfg = dataclasses.replace(cfg, pallas=False, fused=False)
-    scene = build_scene(params, static)
-    if pixel_index is None:
-        w, h = static.resolution
-        pixel_index = jax.lax.iota(jnp.int32, w * h)
 
-    @jax.checkpoint
-    def one_iter(carry, it):
-        radiance, _ = render_sample(
-            scene, pixel_index, it, base_key, cfg, n_global_pixels=n_global_pixels
-        )
-        return carry + radiance, None
-
-    total, _ = jax.lax.scan(
-        one_iter,
-        jnp.zeros((pixel_index.shape[0], 3), jnp.float32),
-        jax.lax.iota(jnp.int32, spp),
+def l2_loss_rays(
+    params: SceneParams,
+    static: SceneStatic,
+    target: jax.Array,
+    spp: int,
+    base_key: jax.Array,
+    cfg: RenderConfig,
+    pixel_index=None,
+    n_global_pixels=None,
+):
+    """``(MSE vs target linear image [N, 3], measured forward rays)``."""
+    img, rays = render_linear_rays(
+        params, static, spp, base_key, cfg, pixel_index, n_global_pixels
     )
-    return total / spp
+    return jnp.mean((img - target) ** 2), rays
 
 
 def l2_loss(
@@ -177,24 +270,74 @@ def l2_loss(
     n_global_pixels=None,
 ):
     """Mean squared error against a target linear image ``[N, 3]``."""
-    img = render_linear(
-        params, static, spp, base_key, cfg, pixel_index, n_global_pixels
+    return l2_loss_rays(
+        params, static, target, spp, base_key, cfg, pixel_index, n_global_pixels
+    )[0]
+
+
+def features_for_materials(materials) -> tuple:
+    """The minimal ``RenderConfig.features`` for a concrete material
+    table.  Dropping a feature no material uses cannot change the image
+    (the gated blocks are exact no-ops at zero parameters) but removes
+    their ops — and, under ``jax.grad``, their transposes — from the
+    compiled graph.  Requires concrete (non-traced) materials; returns
+    the full feature set when handed tracers."""
+    import numpy as np
+
+    try:
+        feats = []
+        if (np.asarray(materials.texture_type) > 0).any():
+            feats.append("texture")
+        if (np.asarray(materials.bump_scale) > 0).any():
+            feats.append("bump")
+        if (np.asarray(materials.has_scatter) > 0).any() or (
+            np.asarray(materials.absorption_coefficient) > 0
+        ).any():
+            feats.append("volumetric")
+        if (
+            (np.asarray(materials.specular_exponent) > 0)
+            & (np.asarray(materials.has_reflective) > 0)
+        ).any():
+            feats.append("glossy")
+        return tuple(feats)
+    except jax.errors.TracerArrayConversionError:
+        return RenderConfig().features
+
+
+def _trim(cfg: RenderConfig, params: SceneParams) -> RenderConfig:
+    return dataclasses.replace(
+        cfg, features=features_for_materials(params.materials)
     )
-    return jnp.mean((img - target) ** 2)
 
 
 @functools.lru_cache(maxsize=None)
 def _grad_executable(static: SceneStatic, spp: int, cfg: RenderConfig):
     @jax.jit
     def step(params, target, base_key):
-        return jax.value_and_grad(l2_loss)(params, static, target, spp, base_key, cfg)
+        (loss, rays), grads = jax.value_and_grad(l2_loss_rays, has_aux=True)(
+            params, static, target, spp, base_key, cfg
+        )
+        return loss, grads, rays
 
     return step
 
 
 def loss_and_grad(params, static, target, spp, base_key, cfg):
     """Compiled ``(loss, dloss/dparams)`` on one device."""
-    return _grad_executable(static, spp, cfg)(params, target, base_key)
+    loss, grads, _ = _grad_executable(static, spp, _trim(cfg, params))(
+        params, target, base_key
+    )
+    return loss, grads
+
+
+def loss_and_grad_rays(params, static, target, spp, base_key, cfg):
+    """Compiled ``(loss, dloss/dparams, measured forward rays)`` — the
+    counter bench.py's fwd+bwd Mrays/s is computed from (one forward
+    pass's primary + bounce + shadow rays; the backward recompute is NOT
+    double-counted)."""
+    return _grad_executable(static, spp, _trim(cfg, params))(
+        params, target, base_key
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -244,7 +387,7 @@ def loss_and_grad_sharded(params, static, target_sharded, spp, base_key, cfg, me
     ``d + D*j`` (use :func:`scatter_target`)."""
     from pathtracer_tpu.parallel.sharded import _mesh_key
 
-    fn = _grad_executable_sharded(static, spp, cfg, _mesh_key(mesh))
+    fn = _grad_executable_sharded(static, spp, _trim(cfg, params), _mesh_key(mesh))
     return fn(params, target_sharded, base_key)
 
 

@@ -182,6 +182,74 @@ def test_sharded_grads_match_single(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
 
 
+def test_mesh_gradients_match_finite_differences():
+    """Differentiable triangle meshes (round-2): AD vs FD for the mesh
+    instance's translation AND a raw vertex coordinate (gradients flow
+    through the winner-only Moeller-Trumbore recompute in
+    ops/intersect.intersect_scene_lean)."""
+    import os
+
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scenes", "mesh_demo.txt")
+    desc = dataclasses.replace(load_scene(path), resolution=(20, 20))
+    params, static = params_from_description(desc, 0)
+    assert params.mesh_verts, "mesh_demo must produce differentiable mesh leaves"
+    assert static.mesh_geom_indices == (1,)
+
+    # make the mesh diffuse: specular lobes add FD noise without testing
+    # anything mesh-specific
+    mats = params.materials
+    params = dataclasses.replace(
+        params,
+        materials=dataclasses.replace(
+            mats,
+            has_reflective=mats.has_reflective.at[1].set(0.0),
+            specular_exponent=mats.specular_exponent.at[1].set(0.0),
+        ),
+    )
+
+    cfg = RenderConfig(max_depth=3, jitter=True, wavefront=False)
+    key = jax.random.PRNGKey(11)
+    target = render_linear(params, static, 2, key, cfg)
+    # perturb so the loss is non-degenerate
+    params = dataclasses.replace(
+        params,
+        translations=params.translations.at[1, 1].add(0.15),
+        mesh_verts=(params.mesh_verts[0].at[0, 0, 1].add(0.05),),
+    )
+
+    def loss_fn(p):
+        return float(l2_loss(p, static, target, 2, key, cfg))
+
+    loss, grads = loss_and_grad(params, static, target, 2, key, cfg)
+    assert float(loss) > 0
+
+    # mesh instance translation (y)
+    fd = _fd(
+        loss_fn,
+        params,
+        lambda p: p.translations[1, 1],
+        lambda p, v: dataclasses.replace(p, translations=p.translations.at[1, 1].set(v)),
+        h=2e-3,
+    )
+    _check("mesh translations[1,1]", grads.translations[1, 1], fd, rtol=0.5)
+
+    # raw vertex gradients: FD of a rigid +y shift of ALL vertices (in
+    # mesh object space) vs the AD sum over every vertex's y gradient —
+    # robust to any single vertex being off-screen at this resolution
+    h = 2e-3
+    lp = loss_fn(
+        dataclasses.replace(params, mesh_verts=(params.mesh_verts[0].at[:, :, 1].add(h),))
+    )
+    lm = loss_fn(
+        dataclasses.replace(params, mesh_verts=(params.mesh_verts[0].at[:, :, 1].add(-h),))
+    )
+    fd = (lp - lm) / (2.0 * h)
+    ad = float(jnp.sum(grads.mesh_verts[0][:, :, 1]))
+    _check("mesh_verts[0][:, :, 1] rigid shift", ad, fd, rtol=0.5)
+
+
 def test_camera_gradient_smooth_scene(cornell):
     """Camera gradients vs FD on a silhouette-free view (diffuse floor +
     light overhead): every term is smooth, so pathwise AD == FD."""
