@@ -1,0 +1,90 @@
+"""Golden-image regression tests (SURVEY.md §4.3; BASELINE.md rows
+"pixel correctness allclose" and "Fresnel/DoF golden-image allclose").
+
+The goldens in tests/golden/*.png are deterministic CPU-jit fp32 renders
+(fixed seed, counter RNG) quantized to 8-bit — the analog of the
+reference's only ground truth (``/root/reference/renders/GI_yes.bmp``,
+README.md:30).  A deliberate physics change fails these; regenerate with
+``python tests/golden/generate.py`` and review the image diff.
+
+Also pins the reference-scene data contract end to end: parse + render
+``/root/reference/scenes/sampleScene.txt`` verbatim (SURVEY.md §4.1).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.golden.generate import GOLDENS, REFERENCE_SAMPLE_SCENE, render_golden
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# save_image quantizes by truncation, so a fresh render sits ~0.5/255
+# above the stored golden on average; allow 2 counts of per-pixel drift
+# (XLA fusion-order jitter) and 0.8 counts on average
+MAX_ABS = 2.5 / 255.0
+MEAN_ABS = 0.8 / 255.0
+
+_BY_NAME = {g[0]: g for g in GOLDENS}
+
+
+def _check_golden(name):
+    _, path, res, spp = _BY_NAME[name]
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    golden_path = os.path.join(HERE, "golden", f"{name}.png")
+    from pathtracer_tpu.utils.imageio import load_png
+
+    golden = load_png(golden_path).astype(np.float32) / 255.0
+    img = render_golden(path, res, spp)
+    assert img.shape == golden.shape, (img.shape, golden.shape)
+    diff = np.abs(img - golden)
+    assert diff.max() <= MAX_ABS, f"{name}: max abs diff {diff.max():.5f}"
+    assert diff.mean() <= MEAN_ABS, f"{name}: mean abs diff {diff.mean():.6f}"
+
+
+def test_golden_cornell_small():
+    _check_golden("cornell_96")
+
+
+@pytest.mark.slow
+def test_golden_cornell_400ish():
+    _check_golden("cornell_200")
+
+
+@pytest.mark.slow
+def test_golden_glass_dof():
+    """Fresnel glass + thin-lens DoF (BASELINE.md "Fresnel/DoF" row)."""
+    _check_golden("glass_dof_128")
+
+
+def test_reference_sample_scene_parse_contract():
+    """Parse /root/reference/scenes/sampleScene.txt verbatim and pin the
+    data contract (9 materials / 9 objects / camera block values —
+    scene.cpp:135-263 semantics)."""
+    if not os.path.exists(REFERENCE_SAMPLE_SCENE):
+        pytest.skip("reference scene not present")
+    from pathtracer_tpu.scene.parser import load_scene
+
+    desc = load_scene(REFERENCE_SAMPLE_SCENE)
+    assert desc.materials["emittance"].shape[0] == 9
+    assert desc.geom_type.shape[0] == 9
+    assert desc.frames == 2
+    assert tuple(desc.resolution) == (800, 800)
+    assert desc.fovy == 25.0
+    assert desc.iterations == 5000
+    # light panel: material 8, EMITTANCE 15 (sampleScene.txt)
+    assert float(desc.materials["emittance"][8]) == 15.0
+    # both frame blocks parse; in this file frame 1 repeats frame 0
+    # verbatim (the reference scene is a 2-frame no-op animation)
+    assert desc.translations.shape == (2, 9, 3)
+    assert np.allclose(desc.translations[0], desc.translations[1])
+    assert np.allclose(desc.eye[0], desc.eye[1])
+
+
+@pytest.mark.slow
+def test_golden_reference_sample_scene_render():
+    """End-to-end: the reference's own scene file renders and matches its
+    checked-in golden."""
+    _check_golden("sample_scene_96")

@@ -69,6 +69,7 @@ def _check(name, ad, fd, rtol=0.12, atol=None):
     assert abs(ad - fd) <= tol, f"{name}: AD {ad} vs FD {fd}"
 
 
+@pytest.mark.slow
 def test_grads_match_finite_differences(setup):
     params0, static, target = setup
     params = _perturb(params0)
@@ -164,6 +165,7 @@ def test_gradient_descent_recovers_wall_color(setup):
     assert np.abs(recovered - true).max() < 0.2, (recovered, true)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single(setup):
     from pathtracer_tpu.parallel.mesh import make_mesh
     from pathtracer_tpu.render.diff import loss_and_grad_sharded, scatter_target
@@ -182,6 +184,7 @@ def test_sharded_grads_match_single(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_gradients_match_finite_differences():
     """Differentiable triangle meshes (round-2): AD vs FD for the mesh
     instance's translation AND a raw vertex coordinate (gradients flow
@@ -250,6 +253,7 @@ def test_mesh_gradients_match_finite_differences():
     _check("mesh_verts[0][:, :, 1] rigid shift", ad, fd, rtol=0.5)
 
 
+@pytest.mark.slow
 def test_camera_gradient_smooth_scene(cornell):
     """Camera gradients vs FD on a silhouette-free view (diffuse floor +
     light overhead): every term is smooth, so pathwise AD == FD."""

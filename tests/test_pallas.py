@@ -26,6 +26,7 @@ def _random_rays(n, seed=0, spread=2.0):
 
 
 @pytest.mark.parametrize("n", [37, 1024])  # non-multiple-of-tile + aligned
+@pytest.mark.slow
 def test_nearest_hit_matches_xla_sweep(cornell_scene, n):
     rays = _random_rays(n)
     ref = intersect_scene(rays, cornell_scene.geoms, cornell_scene.meshes)
@@ -65,6 +66,7 @@ def test_occlusion_matches_nearest_t(cornell_scene):
     assert np.all(np.asarray(t)[~m] > 1e29)
 
 
+@pytest.mark.slow
 def test_mesh_scene_pallas_merge():
     """Pallas analytic kernel + mesh merge == XLA path on a mesh scene."""
     import os
@@ -89,6 +91,7 @@ def test_mesh_scene_pallas_merge():
     )
 
 
+@pytest.mark.slow
 def test_full_render_pallas_vs_xla(cornell_small):
     """End-to-end: a small wavefront render with cfg.pallas on (interpret)
     equals the XLA-sweep render to fp32 accumulation tolerance."""
@@ -102,6 +105,7 @@ def test_full_render_pallas_vs_xla(cornell_small):
     )
 
 
+@pytest.mark.slow
 def test_fused_bounce_matches_split_path(cornell_scene):
     """The fully-fused bounce megakernel (ops/bounce_pallas.py) equals the
     split shade_bounce on every live lane, across all material lobes,
