@@ -72,6 +72,12 @@ def build_argparser():
         action="store_true",
         help="interactive camera REPL (elective: WASD moves, live preview)",
     )
+    p.add_argument(
+        "--debug",
+        action="store_true",
+        help="debug mode: jax_debug_nans + per-chunk finite checks + "
+        "per-bounce alive-lane histogram (megakernel engine)",
+    )
     return p
 
 
@@ -96,6 +102,7 @@ def main(argv=None):
         jitter=not args.no_jitter,
         seed=args.seed,
         wavefront=(args.engine == "wavefront"),
+        debug=args.debug,
     )
 
     from pathtracer_tpu.render.integrator import render

@@ -48,6 +48,12 @@ class RenderConfig:
     # differentiable recompute of the winning primitive only, and a
     # detached occlusion sweep.  Set by render/diff.py for the backward
     # path; numerically equal to the full sweep a.e.
+    debug: bool = False  # debug/observability mode (SURVEY §2 #15, §5 —
+    # the checkCUDAError analog, raytraceKernel.cu:20-26): enables
+    # jax_debug_nans for the duration of render(), host-checks the
+    # accumulator for non-finite values after every chunk (RuntimeError
+    # names the failing spp window), and collects a per-bounce alive-lane
+    # histogram into stats["alive_per_bounce"] (megakernel engine).
     features: tuple = ("texture", "bump", "volumetric", "glossy")
     # which optional physics blocks shade_bounce materializes.  Disabling
     # a feature NO material in the scene uses is a pure no-op on the image

@@ -176,7 +176,7 @@ def render_linear_rays(
     """
     from pathtracer_tpu.render.integrator import render_sample
 
-    cfg_bwd = dataclasses.replace(cfg, fused=False, grad_lean=True)
+    cfg_bwd = dataclasses.replace(cfg, fused=False, grad_lean=True, debug=False)
     scene = build_scene(params, static)
     if pixel_index is None:
         w, h = static.resolution
@@ -185,7 +185,7 @@ def render_linear_rays(
 
     fast_primal = jax.default_backend() == "tpu" and cfg.fast_rng
     if fast_primal:
-        cfg_fwd = dataclasses.replace(cfg, grad_lean=False)
+        cfg_fwd = dataclasses.replace(cfg, grad_lean=False, debug=False)
 
         @jax.custom_vjp
         def sample(scene, pix, it, key):

@@ -84,6 +84,18 @@ def _chunk_executable(cfg: RenderConfig, n_iters: int):
         # executable (second call then fails with a buffer-count mismatch)
         pixel_index = jax.lax.iota(jnp.int32, n_pixels)
 
+        if cfg.debug:
+            def body(i, carry):
+                acc, nrays, hist = carry
+                it = start_iteration + i
+                radiance, n, h = render_sample(scene, pixel_index, it, base_key, cfg)
+                return acc + radiance, nrays + n, hist + h
+
+            return jax.lax.fori_loop(
+                0, n_iters, body,
+                (accum, jnp.float32(0.0), jnp.zeros((cfg.max_depth,), jnp.float32)),
+            )
+
         def body(i, carry):
             acc, nrays = carry
             it = start_iteration + i
@@ -133,24 +145,51 @@ def render(
     if accum is None:
         accum = jnp.zeros((n_pixels, 3), jnp.float32)
 
+    # debug mode (SURVEY §2 #15): jax_debug_nans for the duration of the
+    # render + a host-side finite check after every chunk — the analog of
+    # the reference's checkCUDAError-after-launch (raytraceKernel.cu:226)
+    debug_nans_prev = None
+    if cfg.debug:
+        debug_nans_prev = jax.config.jax_debug_nans
+        jax.config.update("jax_debug_nans", True)
+
+    import numpy as np
+
     done = 0
     counts = []  # device scalars; summed once at the end (keeps dispatch async)
-    while done < spp:
-        chunk = min(cfg.iters_per_launch, spp - done)
-        accum, nrays = render_chunk(
-            scene,
-            accum,
-            jnp.asarray(start_iteration + done, jnp.int32),
-            base_key,
-            cfg,
-            chunk,
-        )
-        counts.append(nrays)
-        done += chunk
-        if progress_fn is not None:
-            progress_fn(done, accum)
+    hists = []
+    try:
+        while done < spp:
+            chunk = min(cfg.iters_per_launch, spp - done)
+            out = render_chunk(
+                scene,
+                accum,
+                jnp.asarray(start_iteration + done, jnp.int32),
+                base_key,
+                cfg,
+                chunk,
+            )
+            accum, nrays = out[0], out[1]
+            if len(out) > 2:
+                hists.append(out[2])
+            if cfg.debug and not np.isfinite(np.asarray(accum)).all():
+                raise RuntimeError(
+                    f"debug: non-finite accumulator after spp window "
+                    f"[{start_iteration + done}, {start_iteration + done + chunk})"
+                )
+            counts.append(nrays)
+            done += chunk
+            if progress_fn is not None:
+                progress_fn(done, accum)
+    finally:
+        if debug_nans_prev is not None:
+            jax.config.update("jax_debug_nans", debug_nans_prev)
 
     total = start_iteration + spp
     img = tonemap(accum.reshape(h, w, 3), total)
     stats = {"rays_traced": float(sum(float(c) for c in counts)), "spp": spp}
+    if hists:
+        stats["alive_per_bounce"] = [
+            float(x) for x in np.sum([np.asarray(h) for h in hists], axis=0)
+        ]
     return img, accum, stats

@@ -43,7 +43,8 @@ def trace_paths(
 
     def bounce(carry, depth):
         rays, throughput, alive, prev_spec, medium, radiance, nrays = carry
-        nrays = nrays + jnp.sum(alive.astype(jnp.float32)) * (2.0 if cfg.nee else 1.0)  # +shadow ray
+        n_alive = jnp.sum(alive.astype(jnp.float32))
+        nrays = nrays + n_alive * (2.0 if cfg.nee else 1.0)  # +shadow ray
         res = shade_bounce(
             scene, rays, throughput, sample_idx, depth, prev_spec, base_key, cfg,
             medium_sigma=medium,
@@ -74,7 +75,8 @@ def trace_paths(
             rays, throughput, new_alive, res.was_specular, res.next_medium,
             radiance, nrays,
         )
-        return carry, None
+        # ys: per-bounce alive-lane count (debug observability, SURVEY §5)
+        return carry, (n_alive if cfg.debug else None)
 
     init = (
         rays,
@@ -85,7 +87,9 @@ def trace_paths(
         jnp.zeros((n, 3), jnp.float32),
         jnp.float32(0.0),
     )
-    (_, _, _, _, _, radiance, nrays), _ = jax.lax.scan(
+    (_, _, _, _, _, radiance, nrays), alive_hist = jax.lax.scan(
         bounce, init, jax.lax.iota(jnp.int32, cfg.max_depth)
     )
+    if cfg.debug:
+        return radiance, nrays, alive_hist
     return radiance, nrays
