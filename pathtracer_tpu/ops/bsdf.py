@@ -47,11 +47,12 @@ class MaterialLookup:
     absorption: jax.Array  # [N, 3] Beer-Lambert sigma_a inside the medium
     has_scatter: jax.Array  # [N] volumetric scattering flag
     scatter_coeff: jax.Array  # [N] reduced scattering sigma_s'
-    texture_type: jax.Array  # [N] 0 none / 1 checker / 2 stripes
+    texture_type: jax.Array  # [N] 0 none / 1 checker / 2 stripes / 3 image
     texture_scale: jax.Array  # [N]
     texture_color2: jax.Array  # [N, 3]
     bump_scale: jax.Array  # [N]
     bump_amp: jax.Array  # [N]
+    texture_image: jax.Array  # [N] atlas slot (-1 = none)
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -76,6 +77,7 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.texture_color2,  # 18:21
             materials.bump_scale[:, None],  # 21
             materials.bump_amp[:, None],  # 22
+            materials.texture_image[:, None],  # 23
         ],
         axis=-1,
     )
@@ -99,6 +101,7 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         texture_color2=rows[:, 18:21],
         bump_scale=rows[:, 21],
         bump_amp=rows[:, 22],
+        texture_image=rows[:, 23],
     )
 
 

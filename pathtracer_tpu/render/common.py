@@ -99,7 +99,12 @@ def shade_bounce(
     if cfg.grad_lean:
         use_fused = False  # the fused kernel has no gradient path
     elif use_fused is None:
-        use_fused = use_pallas and not scene.meshes and cfg.fast_rng
+        use_fused = (
+            use_pallas
+            and not scene.meshes
+            and scene.textures is None
+            and cfg.fast_rng
+        )
     elif use_fused:
         # explicit opt-in must still satisfy the kernel's preconditions:
         # bounce_fused has no mesh traversal and hardwires the counter-hash
@@ -108,6 +113,8 @@ def shade_bounce(
         unsupported = []
         if scene.meshes:
             unsupported.append("scene has triangle meshes")
+        if scene.textures is not None:
+            unsupported.append("scene has image textures")
         if not cfg.fast_rng:
             unsupported.append("fast_rng=False")
         if unsupported:
@@ -166,9 +173,33 @@ def shade_bounce(
         checker = jnp.mod(cells[:, 0] + cells[:, 1] + cells[:, 2], 2.0)
         stripes = jnp.mod(cells[:, 0], 2.0)
         pattern = jnp.where(mat.texture_type > 1.5, stripes, checker)
-        textured = (mat.texture_type > 0.5) & (pattern > 0.5)
+        textured = (
+            (mat.texture_type > 0.5) & (mat.texture_type < 2.5) & (pattern > 0.5)
+        )
         albedo = jnp.where(textured[:, None], mat.texture_color2, mat.color)
         mat = _dc.replace(mat, color=albedo)
+
+    # ---- image-file texture (elective, reference stb_image/README.md:57):
+    # UV from the object-space hit, bilinear atlas fetch modulating the
+    # albedo.  Differentiable in hit geometry AND in the texel table.
+    if "texture" in cfg.features and scene.textures is not None:
+        from pathtracer_tpu.ops.intersect import select_rows
+        from pathtracer_tpu.ops.texture import compute_uv, sample_atlas
+
+        gid = jax.lax.stop_gradient(hit.geom_id)
+        gtype = jnp.take(scene.geoms.type, gid)
+        # object-space normal for mesh box-mapping: n_obj ∝ M^T n_world
+        onehot = jax.nn.one_hot(gid, scene.geoms.count, dtype=jnp.float32)
+        M = select_rows(onehot, jax.lax.stop_gradient(scene.geoms.transform))
+        n_obj = jnp.einsum("nij,ni->nj", M[:, :3, :3], hit.normal)
+        uv = compute_uv(gtype, hit.position_obj, n_obj)
+        texel = sample_atlas(
+            scene.textures, mat.texture_image, uv * mat.texture_scale[:, None]
+        )
+        is_img = mat.texture_type > 2.5
+        mat = _dc.replace(
+            mat, color=jnp.where(is_img[:, None], mat.color * texel, mat.color)
+        )
 
     # ---- procedural bump mapping (elective): tangential sinusoidal
     # perturbation of the shading normal, frequency/amplitude per material

@@ -64,6 +64,8 @@ class SceneParams:
     # per MESH geom (gradients flow to vertices AND, via TRS, to the
     # instance transform) — realizes the reference's MESH branch
     # (raytraceKernel.cu:144-145) in differentiable mode
+    textures: object = None  # ops/texture.TextureAtlas or None — the texel
+    # table is itself a differentiable leaf (inverse texture painting)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +86,11 @@ def params_from_description(desc, frame: int = 0):
     mesh_verts = tuple(
         jnp.asarray(t, jnp.float32) for t in mesh_tris if t is not None
     )
+    atlas = None
+    if desc.texture_images:
+        from pathtracer_tpu.ops.texture import build_atlas
+
+        atlas = build_atlas(desc.texture_images)
     mesh_geom_indices = tuple(
         g for g, t in enumerate(mesh_tris) if t is not None
     )
@@ -105,6 +112,7 @@ def params_from_description(desc, frame: int = 0):
         cam_aperture=jnp.asarray(desc.aperture, jnp.float32),
         cam_focal=jnp.asarray(desc.focal_distance, jnp.float32),
         mesh_verts=mesh_verts,
+        textures=atlas,
     )
     static = SceneStatic(
         geom_type=tuple(int(t) for t in desc.geom_type),
@@ -144,7 +152,13 @@ def build_scene(params: SceneParams, static: SceneStatic) -> Scene:
         MeshInstance(geom_index=gi, tri_verts=v, accel=None)
         for gi, v in zip(static.mesh_geom_indices, params.mesh_verts)
     )
-    return Scene(geoms=geoms, materials=params.materials, camera=cam, meshes=meshes)
+    return Scene(
+        geoms=geoms,
+        materials=params.materials,
+        camera=cam,
+        meshes=meshes,
+        textures=params.textures,
+    )
 
 
 def render_linear_rays(

@@ -108,10 +108,20 @@ def parse_scene_text(
                 if k == "TEXTURE":
                     advance()
                     kind = nxt[1].lower()
-                    mat["texture_type"] = {"none": 0.0, "checker": 1.0, "stripes": 2.0}[kind]
-                    mat["texture_scale"] = float(nxt[2])
-                    if len(nxt) >= 6:
-                        mat["texture_color2"] = [float(v) for v in nxt[3:6]]
+                    if kind.endswith(".png"):
+                        # image-file texture: TEXTURE file.png [scale]
+                        mat["texture_type"] = 3.0
+                        mat["_texture_path"] = nxt[1]
+                        mat["texture_scale"] = (
+                            float(nxt[2]) if len(nxt) > 2 else 1.0
+                        )
+                    else:
+                        mat["texture_type"] = {
+                            "none": 0.0, "checker": 1.0, "stripes": 2.0
+                        }[kind]
+                        mat["texture_scale"] = float(nxt[2])
+                        if len(nxt) >= 6:
+                            mat["texture_color2"] = [float(v) for v in nxt[3:6]]
                 elif k == "BUMP":
                     advance()
                     mat["bump_scale"] = float(nxt[1])
@@ -147,12 +157,25 @@ def parse_scene_text(
         if obj["material"] >= len(materials):
             raise SceneParseError(f"{name}: object references missing material")
 
+    # resolve image-texture paths into atlas slots (deduped by path)
+    tex_paths: List[str] = []
+    for m in materials:
+        p = m.pop("_texture_path", None)
+        if p is None:
+            continue
+        full = _resolve_asset(p, scene_dir)
+        if full not in tex_paths:
+            tex_paths.append(full)
+        m["texture_image"] = float(tex_paths.index(full))
+    texture_images = tuple(_load_texture(p) for p in tex_paths)
+
     _EXT_DEFAULTS = {
         "texture_type": 0.0,
         "texture_scale": 1.0,
         "texture_color2": [0.0, 0.0, 0.0],
         "bump_scale": 0.0,
         "bump_amp": 0.0,
+        "texture_image": -1.0,
     }
     all_fields = [f for f, _ in _MATERIAL_KEYS.values()] + list(_EXT_DEFAULTS)
     mat_soa = {
@@ -192,7 +215,22 @@ def parse_scene_text(
         ),
         materials=mat_soa,
         mesh_tris=mesh_tris,
+        texture_images=texture_images,
     )
+
+
+def _resolve_asset(token: str, scene_dir: str | None) -> str:
+    for cand in (token, os.path.join(scene_dir or ".", token)):
+        if os.path.exists(cand):
+            return os.path.abspath(cand)
+    raise SceneParseError(f"texture file not found: {token!r}")
+
+
+def _load_texture(path: str) -> np.ndarray:
+    from pathtracer_tpu.ops.texture import decode_srgb
+    from pathtracer_tpu.utils.imageio import load_png
+
+    return decode_srgb(load_png(path))
 
 
 def _load_mesh(token, scene_dir):

@@ -96,13 +96,14 @@ class Materials:
     absorption_coefficient: jax.Array  # [M, 3]
     reduced_scatter_coefficient: jax.Array  # [M]
     emittance: jax.Array  # [M]
-    # procedural texture extensions (0 = none, 1 = checker, 2 = stripes);
-    # pattern evaluated in the hit geom's object space (solid texture)
+    # texture extensions (0 = none, 1 = checker, 2 = stripes, 3 = image);
+    # procedural patterns evaluated in the hit geom's object space
     texture_type: jax.Array  # [M]
     texture_scale: jax.Array  # [M]
     texture_color2: jax.Array  # [M, 3]
     bump_scale: jax.Array  # [M] procedural bump frequency (0 = off)
     bump_amp: jax.Array  # [M] bump strength
+    texture_image: jax.Array  # [M] atlas slot for type==3 (-1 = none)
 
     @property
     def count(self) -> int:
@@ -161,6 +162,9 @@ class Scene:
     materials: Materials
     camera: Camera
     meshes: tuple = ()  # tuple[MeshInstance, ...]
+    # image-texture atlas (ops/texture.TextureAtlas) or None — the realized
+    # stb_image elective (reference src/stb_image/stb_image.c, README.md:57)
+    textures: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,6 +197,9 @@ class SceneDescription:
     materials: dict
     # per-object mesh triangles ([T,3,3] np arrays for MESH objects, else None)
     mesh_tris: tuple = ()
+    # decoded linear-light image textures ([Hi,Wi,3] float arrays), indexed
+    # by the materials' texture_image field
+    texture_images: tuple = ()
 
     def scene_for_frame(self, frame: int) -> Scene:
         """Select one animation frame into a device-ready :class:`Scene`
@@ -229,7 +236,15 @@ class SceneDescription:
             for g, tris in enumerate(self.mesh_tris or ())
             if tris is not None
         )
-        return Scene(geoms=geoms, materials=mats, camera=cam, meshes=meshes)
+        textures = None
+        if self.texture_images:
+            from pathtracer_tpu.ops.texture import build_atlas
+
+            textures = build_atlas(self.texture_images)
+        return Scene(
+            geoms=geoms, materials=mats, camera=cam, meshes=meshes,
+            textures=textures,
+        )
 
     def camera_for_frame(self, frame: int) -> Camera:
         from pathtracer_tpu.ops.camera import derive_fov
@@ -269,4 +284,5 @@ def make_materials(rows: list) -> Materials:
         texture_color2=col("texture_color2", width=3),
         bump_scale=col("bump_scale"),
         bump_amp=col("bump_amp"),
+        texture_image=col("texture_image", default=-1.0),
     )
