@@ -58,4 +58,11 @@ class RenderConfig:
     # which optional physics blocks shade_bounce materializes.  Disabling
     # a feature NO material in the scene uses is a pure no-op on the image
     # but removes its ops (and their transposes) from the compiled graph —
-    # render/diff.py trims this automatically via features_for_scene().
+    # render/diff.py trims this automatically via features_for_materials().
+    # NOTE: "microfacet" (Cook-Torrance GGX) is intentionally NOT a default:
+    # it is added by auto_features when a material sets BRDF cooktorrance.
+    auto_features: bool = True  # recompute `features` from the concrete
+    # material table at the render entry points (integrator.render,
+    # parallel.render_sharded, render/diff.py) — both trims unused blocks
+    # and enables scene-required ones (e.g. "microfacet").  Set False to
+    # pin `features` manually.

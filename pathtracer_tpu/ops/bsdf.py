@@ -53,6 +53,8 @@ class MaterialLookup:
     bump_scale: jax.Array  # [N]
     bump_amp: jax.Array  # [N]
     texture_image: jax.Array  # [N] atlas slot (-1 = none)
+    brdf_model: jax.Array  # [N] 0 = Phong glossy, 1 = Cook-Torrance GGX
+    roughness: jax.Array  # [N] GGX roughness (perceptual; alpha = r^2)
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -78,6 +80,8 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.bump_scale[:, None],  # 21
             materials.bump_amp[:, None],  # 22
             materials.texture_image[:, None],  # 23
+            materials.brdf_model[:, None],  # 24
+            materials.roughness[:, None],  # 25
         ],
         axis=-1,
     )
@@ -102,6 +106,8 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         bump_scale=rows[:, 21],
         bump_amp=rows[:, 22],
         texture_image=rows[:, 23],
+        brdf_model=rows[:, 24],
+        roughness=rows[:, 25],
     )
 
 
@@ -221,6 +227,39 @@ class ScatterSample:
     entering: jax.Array  # [N] bool: ray was outside the surface
 
 
+def ggx_sample(n, incident, cos_i, roughness, spec_color, xi1, xi2):
+    """Cook-Torrance microfacet lobe (GGX distribution, Smith G, Schlick
+    Fresnel) — one more elective BRDF beyond the reference's list
+    (README.md:54 names Torrance-Sparrow/Cook-Torrance explicitly).
+
+    Samples the GGX half-vector about ``n`` (``cos_h^2 = (1-xi)/(1+
+    (a^2-1)xi)``), reflects, and returns ``(direction, weight_rgb)`` where
+    weight is the standard half-vector-sampling estimator
+    ``F(wo.h) G(wi,wo) (wo.h) / (cos_i cos_h)`` (self-shadowed samples get
+    zero weight).  ``alpha = roughness^2`` (perceptual remap)."""
+    alpha = jnp.clip(roughness * roughness, 1e-4, 1.0)
+    a2 = alpha * alpha
+    xi1 = jnp.clip(xi1, 1e-7, 1.0 - 1e-7)
+    cos_h = jnp.sqrt(jnp.clip((1.0 - xi1) / (1.0 + (a2 - 1.0) * xi1), 0.0, 1.0))
+    h = _rotate_about(n, cos_h, xi2 * 2.0 * jnp.pi)
+    d = reflect(incident, h)
+    wo_dot_h = -jnp.sum(incident * h, axis=-1)  # = dot(d, h)
+    cos_o = jnp.sum(d * n, axis=-1)
+    valid = (cos_o > 0.0) & (wo_dot_h > 0.0)
+
+    def g1(c):
+        c = jnp.clip(c, 1e-6, 1.0)
+        return 2.0 * c / (c + jnp.sqrt(a2 + (1.0 - a2) * c * c))
+
+    g = g1(jnp.clip(cos_i, 1e-6, 1.0)) * g1(cos_o)
+    f = spec_color + (1.0 - spec_color) * (
+        jnp.clip(1.0 - wo_dot_h, 0.0) ** 5
+    )[..., None]
+    w = g * wo_dot_h / jnp.maximum(jnp.clip(cos_i, 1e-6, 1.0) * cos_h, 1e-6)
+    weight = jnp.where(valid[..., None], f * w[..., None], 0.0)
+    return d, weight
+
+
 def sample_bsdf(
     mat: MaterialLookup,
     position: jax.Array,
@@ -228,6 +267,7 @@ def sample_bsdf(
     incident: jax.Array,
     u: jax.Array,
     glossy: bool = True,
+    microfacet: bool = True,
 ) -> ScatterSample:
     """Sample an outgoing direction + throughput multiplier per ray.
 
@@ -236,6 +276,8 @@ def sample_bsdf(
     face either way); ``incident`` the unit incoming direction.
     ``glossy=False`` drops the Phong lobe from the graph (feature gating,
     RenderConfig.features) — only valid when no material has SPECEX > 0.
+    ``microfacet=False`` likewise drops the Cook-Torrance GGX lobe — only
+    valid when no material has BRDF cooktorrance set.
     """
     # orient shading normal against the incident ray; remember if we are
     # inside the object (entering vs exiting a dielectric)
@@ -283,25 +325,39 @@ def sample_bsdf(
 
     is_refractive = mat.has_refractive > 0.0
     is_reflective = (~is_refractive) & (mat.has_reflective > 0.0)
+    if microfacet:
+        is_ct = is_reflective & (mat.brdf_model > 0.5)
+        d_ct, ct_weight = ggx_sample(
+            n, incident, cos_i, mat.roughness, mat.specular_color,
+            u[..., 0], u[..., 1],
+        )
+    else:
+        is_ct = jnp.zeros(is_reflective.shape, bool)
+        d_ct, ct_weight = d_mirror, jnp.ones_like(mat.specular_color)
     if glossy:
-        is_glossy = is_reflective & (mat.specular_exponent > 0.0)
+        is_glossy = is_reflective & (mat.specular_exponent > 0.0) & (~is_ct)
     else:
         is_glossy = jnp.zeros(is_reflective.shape, bool)
-    is_mirror = is_reflective & (~is_glossy)
+    is_mirror = is_reflective & (~is_glossy) & (~is_ct)
     is_specular = is_refractive | is_reflective
 
     direction = jnp.where(
         is_refractive[..., None],
         d_dielectric,
         jnp.where(
-            is_glossy[..., None],
-            d_glossy,
-            jnp.where(is_mirror[..., None], d_mirror, d_diffuse),
+            is_ct[..., None],
+            d_ct,
+            jnp.where(
+                is_glossy[..., None],
+                d_glossy,
+                jnp.where(is_mirror[..., None], d_mirror, d_diffuse),
+            ),
         ),
     )
 
     # throughput: diffuse => albedo (cosine/pdf cancels); mirror => specular
-    # color; glossy => specular color * Phong lobe weight; dielectric =>
+    # color; glossy => specular color * Phong lobe weight; Cook-Torrance =>
+    # full microfacet estimator weight (Fresnel included); dielectric =>
     # specular color for both lobes (choice probability cancels against the
     # Fresnel weight in the standard RR estimator)
     throughput_mult = jnp.where(
@@ -310,6 +366,7 @@ def sample_bsdf(
     throughput_mult = jnp.where(
         is_glossy[..., None], throughput_mult * glossy_weight[..., None], throughput_mult
     )
+    throughput_mult = jnp.where(is_ct[..., None], ct_weight, throughput_mult)
 
     # bias the new origin off the surface: along +n for reflected/diffuse,
     # along -n (through the surface) for transmission (RAY_BIAS_AMOUNT

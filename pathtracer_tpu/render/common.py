@@ -101,20 +101,21 @@ def shade_bounce(
     elif use_fused is None:
         use_fused = (
             use_pallas
-            and not scene.meshes
             and scene.textures is None
+            and "microfacet" not in cfg.features
             and cfg.fast_rng
         )
     elif use_fused:
         # explicit opt-in must still satisfy the kernel's preconditions:
-        # bounce_fused has no mesh traversal and hardwires the counter-hash
-        # RNG — honoring fused=True here would silently drop mesh geometry
-        # or silently swap the sample set (ADVICE r1).  Fall back loudly.
+        # bounce_fused has no image-texture atlas or Cook-Torrance lobe
+        # and hardwires the counter-hash RNG — honoring fused=True here
+        # would silently change the image or swap the sample set
+        # (ADVICE r1).  Fall back loudly.
         unsupported = []
-        if scene.meshes:
-            unsupported.append("scene has triangle meshes")
         if scene.textures is not None:
             unsupported.append("scene has image textures")
+        if "microfacet" in cfg.features:
+            unsupported.append("Cook-Torrance materials enabled")
         if not cfg.fast_rng:
             unsupported.append("fast_rng=False")
         if unsupported:
@@ -277,6 +278,7 @@ def shade_bounce(
     scatter = sample_bsdf(
         mat, hit.position, hit.normal, rays.direction, u[:, 0:3],
         glossy="glossy" in cfg.features,
+        microfacet="microfacet" in cfg.features,
     )
 
     # ---- next-event estimation at diffuse hits

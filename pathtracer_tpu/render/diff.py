@@ -313,6 +313,8 @@ def features_for_materials(materials) -> tuple:
             & (np.asarray(materials.has_reflective) > 0)
         ).any():
             feats.append("glossy")
+        if (np.asarray(materials.brdf_model) > 0).any():
+            feats.append("microfacet")
         return tuple(feats)
     except jax.errors.TracerArrayConversionError:
         return RenderConfig().features

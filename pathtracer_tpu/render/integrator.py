@@ -138,6 +138,17 @@ def render(
     ``accum``/``start_iteration`` allow resuming (checkpoint support,
     SURVEY.md §5)."""
     cfg = cfg or RenderConfig()
+    if cfg.auto_features:
+        # trim unused optional physics blocks AND enable scene-required
+        # ones (e.g. "microfacet" for BRDF cooktorrance materials) from
+        # the concrete material table
+        import dataclasses
+
+        from pathtracer_tpu.render.diff import features_for_materials
+
+        cfg = dataclasses.replace(
+            cfg, features=features_for_materials(scene.materials)
+        )
     if base_key is None:
         base_key = jax.random.PRNGKey(cfg.seed)
     w, h = scene.camera.width, scene.camera.height

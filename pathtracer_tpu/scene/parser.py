@@ -126,6 +126,19 @@ def parse_scene_text(
                     advance()
                     mat["bump_scale"] = float(nxt[1])
                     mat["bump_amp"] = float(nxt[2])
+                elif k == "BRDF":
+                    # BRDF cooktorrance <roughness>  (elective, README.md:54)
+                    advance()
+                    model = nxt[1].lower()
+                    if model in ("cooktorrance", "cook-torrance", "ggx"):
+                        mat["brdf_model"] = 1.0
+                        mat["roughness"] = float(nxt[2])
+                    elif model == "phong":
+                        mat["brdf_model"] = 0.0
+                    else:
+                        raise SceneParseError(
+                            f"{name}: unknown BRDF model {nxt[1]!r}"
+                        )
                 else:
                     break
             materials.append(mat)
@@ -176,6 +189,8 @@ def parse_scene_text(
         "bump_scale": 0.0,
         "bump_amp": 0.0,
         "texture_image": -1.0,
+        "brdf_model": 0.0,
+        "roughness": 0.0,
     }
     all_fields = [f for f, _ in _MATERIAL_KEYS.values()] + list(_EXT_DEFAULTS)
     mat_soa = {
@@ -353,7 +368,7 @@ def load_scene(path: str) -> SceneDescription:
     with open(path, "r") as f:
         text = f.read()
     scene_dir = os.path.dirname(os.path.abspath(path))
-    has_ext = "TEXTURE" in text or "BUMP" in text
+    has_ext = "TEXTURE" in text or "BUMP" in text or "BRDF" in text
     try:
         from pathtracer_tpu.utils import native
 

@@ -104,6 +104,8 @@ class Materials:
     bump_scale: jax.Array  # [M] procedural bump frequency (0 = off)
     bump_amp: jax.Array  # [M] bump strength
     texture_image: jax.Array  # [M] atlas slot for type==3 (-1 = none)
+    brdf_model: jax.Array  # [M] 0 = Phong glossy, 1 = Cook-Torrance GGX
+    roughness: jax.Array  # [M] GGX roughness (alpha = roughness^2)
 
     @property
     def count(self) -> int:
@@ -285,4 +287,6 @@ def make_materials(rows: list) -> Materials:
         bump_scale=col("bump_scale"),
         bump_amp=col("bump_amp"),
         texture_image=col("texture_image", default=-1.0),
+        brdf_model=col("brdf_model"),
+        roughness=col("roughness"),
     )

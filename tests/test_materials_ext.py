@@ -13,6 +13,34 @@ from pathtracer_tpu.config import RenderConfig
 from pathtracer_tpu.render.integrator import render
 from pathtracer_tpu.scene.parser import parse_scene_text
 
+
+def make_lookup(n, **kw):
+    """A MaterialLookup batch with all-default fields, keyword-overridable."""
+    from pathtracer_tpu.ops.bsdf import MaterialLookup
+
+    base = dict(
+        color=jnp.zeros((n, 3)),
+        specular_color=jnp.ones((n, 3)),
+        has_reflective=jnp.zeros((n,)),
+        has_refractive=jnp.zeros((n,)),
+        ior=jnp.zeros((n,)),
+        emittance=jnp.zeros((n,)),
+        specular_exponent=jnp.zeros((n,)),
+        absorption=jnp.zeros((n, 3)),
+        has_scatter=jnp.zeros((n,)),
+        scatter_coeff=jnp.zeros((n,)),
+        texture_type=jnp.zeros((n,)),
+        texture_scale=jnp.ones((n,)),
+        texture_color2=jnp.zeros((n, 3)),
+        bump_scale=jnp.zeros((n,)),
+        bump_amp=jnp.zeros((n,)),
+        texture_image=jnp.full((n,), -1.0),
+        brdf_model=jnp.zeros((n,)),
+        roughness=jnp.zeros((n,)),
+    )
+    base.update(kw)
+    return MaterialLookup(**base)
+
 BASE = """
 MATERIAL 0
 RGB .8 .8 .8
@@ -109,26 +137,14 @@ def test_beer_absorption_darkens_glass():
 
 
 def test_glossy_lobe_concentration():
-    from pathtracer_tpu.ops.bsdf import MaterialLookup, sample_bsdf
+    from pathtracer_tpu.ops.bsdf import sample_bsdf
 
     n = 20000
     def mk(specex):
-        return MaterialLookup(
-            color=jnp.zeros((n, 3)),
-            specular_color=jnp.ones((n, 3)),
+        return make_lookup(
+            n,
             has_reflective=jnp.ones((n,)),
-            has_refractive=jnp.zeros((n,)),
-            ior=jnp.zeros((n,)),
-            emittance=jnp.zeros((n,)),
             specular_exponent=jnp.full((n,), float(specex)),
-            absorption=jnp.zeros((n, 3)),
-            has_scatter=jnp.zeros((n,)),
-            scatter_coeff=jnp.zeros((n,)),
-            texture_type=jnp.zeros((n,)),
-            texture_scale=jnp.ones((n,)),
-            texture_color2=jnp.zeros((n, 3)),
-            bump_scale=jnp.zeros((n,)),
-            bump_amp=jnp.zeros((n,)),
         )
 
     normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
@@ -148,26 +164,10 @@ def test_glossy_lobe_concentration():
 
 
 def test_glossy_exponent_zero_is_mirror():
-    from pathtracer_tpu.ops.bsdf import MaterialLookup, sample_bsdf
+    from pathtracer_tpu.ops.bsdf import sample_bsdf
 
     n = 64
-    mat = MaterialLookup(
-        color=jnp.zeros((n, 3)),
-        specular_color=jnp.ones((n, 3)),
-        has_reflective=jnp.ones((n,)),
-        has_refractive=jnp.zeros((n,)),
-        ior=jnp.zeros((n,)),
-        emittance=jnp.zeros((n,)),
-        specular_exponent=jnp.zeros((n,)),
-        absorption=jnp.zeros((n, 3)),
-        has_scatter=jnp.zeros((n,)),
-        scatter_coeff=jnp.zeros((n,)),
-        texture_type=jnp.zeros((n,)),
-        texture_scale=jnp.ones((n,)),
-        texture_color2=jnp.zeros((n, 3)),
-        bump_scale=jnp.zeros((n,)),
-        bump_amp=jnp.zeros((n,)),
-    )
+    mat = make_lookup(n, has_reflective=jnp.ones((n,)))
     normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
     inc = jnp.tile(jnp.array([[0.6, 0.0, -0.8]]), (n, 1))
     u = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
@@ -257,3 +257,88 @@ MATERIAL 1""",
     lit_t = a_tex[a_tex > 1e-5]
     # textured floor: strongly bimodal => higher relative spread
     assert np.std(lit_t) / (np.mean(lit_t) + 1e-9) > 2.0 * np.std(lit_p) / (np.mean(lit_p) + 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Cook-Torrance GGX microfacet BRDF (elective, reference README.md:54)
+# ---------------------------------------------------------------------------
+
+
+def test_cooktorrance_dsl_parse():
+    ct = BASE.format(abs="0 0 0").replace(
+        "RSCTCOEFF 0\nEMITTANCE 0\n\nMATERIAL 1",
+        "RSCTCOEFF 0\nEMITTANCE 0\nBRDF cooktorrance 0.3\n\nMATERIAL 1",
+        1,
+    )
+    desc = parse_scene_text(ct)
+    assert desc.materials["brdf_model"][0] == 1.0
+    assert desc.materials["roughness"][0] == pytest.approx(0.3)
+    assert desc.materials["brdf_model"][1] == 0.0
+    # unknown model rejected
+    from pathtracer_tpu.scene.parser import SceneParseError
+
+    bad = ct.replace("BRDF cooktorrance 0.3", "BRDF blinn 0.3")
+    with pytest.raises(SceneParseError):
+        parse_scene_text(bad)
+
+
+def test_cooktorrance_lobe_concentration_and_energy():
+    """Lower roughness => tighter lobe about the mirror direction; the
+    estimator weight's mean (directional albedo at F0=1) stays <= 1."""
+    from pathtracer_tpu.ops.bsdf import sample_bsdf
+
+    n = 20000
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    inc = jnp.tile(jnp.array([[0.6, 0.0, -0.8]]), (n, 1))
+    pos = jnp.zeros((n, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n, 3))
+    mirror_dir = np.array([0.6, 0.0, 0.8])
+
+    stats = {}
+    for r in (0.08, 0.5):
+        mat = make_lookup(
+            n,
+            has_reflective=jnp.ones((n,)),
+            brdf_model=jnp.ones((n,)),
+            roughness=jnp.full((n,), r),
+        )
+        s = sample_bsdf(mat, pos, normal, inc, u)
+        d = np.asarray(s.direction)
+        w = np.asarray(s.throughput_mult)
+        assert np.isfinite(d).all() and np.isfinite(w).all()
+        assert bool(np.asarray(s.is_specular).all())
+        stats[r] = ((d @ mirror_dir).mean(), w.mean())
+    cos_smooth, alb_smooth = stats[0.08]
+    cos_rough, alb_rough = stats[0.5]
+    assert cos_smooth > 0.99 > cos_rough
+    # directional albedo (F0 = 1): <= 1 (single-scatter loss), > 0.5
+    for alb in (alb_smooth, alb_rough):
+        assert 0.5 < alb <= 1.01
+    # rough surface loses more energy to masking/shadowing
+    assert alb_rough < alb_smooth
+
+
+def test_cooktorrance_render_differs_from_mirror():
+    """End-to-end: auto_features enables the microfacet lobe from the DSL;
+    a rough CT floor blurs what a mirror floor reflects sharply."""
+    mirror = BASE.format(abs="0 0 0").replace(
+        "RGB .8 .8 .8\nSPECEX 0\nSPECRGB 1 1 1\nREFL 0",
+        "RGB 0 0 0\nSPECEX 0\nSPECRGB 1 1 1\nREFL 1",
+        1,
+    )
+    ct = mirror.replace(
+        "RSCTCOEFF 0\nEMITTANCE 0\n\nMATERIAL 1",
+        "RSCTCOEFF 0\nEMITTANCE 0\nBRDF cooktorrance 0.4\n\nMATERIAL 1",
+        1,
+    )
+    d_mirror = parse_scene_text(mirror)
+    d_ct = parse_scene_text(ct)
+    assert d_ct.materials["brdf_model"][0] == 1.0
+    cfg = RenderConfig(max_depth=4, iters_per_launch=8)
+    _, a_m, _ = render(d_mirror.scene_for_frame(0), 16, cfg)
+    _, a_c, _ = render(d_ct.scene_for_frame(0), 16, cfg)
+    a_m = np.asarray(a_m) / 16.0
+    a_c = np.asarray(a_c) / 16.0
+    assert np.isfinite(a_c).all()
+    # images must genuinely differ (the lobe is doing something)
+    assert np.abs(a_c - a_m).mean() > 1e-3
