@@ -25,11 +25,30 @@ def make_mesh(devices=None) -> Mesh:
 def initialize_distributed():
     """Multi-host entry: call once per host before building the mesh
     (jax.distributed handles the DCN rendezvous).  No-op when the process
-    already owns every device (single-host)."""
+    already owns every device (single-host).
+
+    On TPU pods the coordinator/process topology is auto-detected from the
+    cluster environment; elsewhere (and in the two-process CPU smoke test,
+    tests/test_distributed.py) it is passed explicitly via
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``.
+
+    Launch incantation (one per host)::
+
+        JAX_COORDINATOR_ADDRESS=host0:9123 JAX_NUM_PROCESSES=4 \\
+            JAX_PROCESS_ID=$i python -m pathtracer_tpu.cli scene=... --sharded
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if addr is None:
+        return
+    kwargs = {"coordinator_address": addr}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -98,6 +98,43 @@ def _mesh_key(mesh):
     return key
 
 
+def per_device_ray_counts(scene, spp, cfg, mesh, base_key=None):
+    """Diagnostic: rays actually traced by EACH device for ``spp``
+    progressive iterations — the load-balance evidence behind the strided
+    pixel-ownership layout (SURVEY.md §7 hard-parts: wavefront decay must
+    be statistically uniform across shards for the scaling-efficiency
+    target to hold).  Returns a ``[D]`` numpy array."""
+    import numpy as np
+
+    from pathtracer_tpu.render.wavefront import render_samples_pinned
+
+    if base_key is None:
+        base_key = jax.random.PRNGKey(cfg.seed)
+    mesh_key = _mesh_key(mesh)
+    n_dev = mesh.devices.size
+    w, h = scene.camera.width, scene.camera.height
+    accum = make_accum(w * h, mesh)
+
+    def per_device(scene, accum_local, base_key):
+        d = jax.lax.axis_index(AXIS)
+        n_local = accum_local.shape[0]
+        _, nrays = render_samples_pinned(
+            scene, accum_local, jnp.asarray(0, jnp.int32), spp, base_key,
+            cfg, pixel_offset=d, pixel_stride=n_dev,
+            n_global_pixels=n_local * n_dev,
+        )
+        return jnp.asarray(nrays, jnp.float32)[None]
+
+    fn = shard_map(
+        per_device,
+        mesh=_MESHES[mesh_key],
+        in_specs=(P(), P(AXIS), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return np.asarray(jax.jit(fn)(scene, accum, base_key))
+
+
 def render_chunk_sharded(
     scene: Scene,
     accum_sharded: jax.Array,
@@ -157,6 +194,14 @@ def render_sharded(
     from pathtracer_tpu.ops.tonemap import tonemap
 
     cfg = cfg or RenderConfig(wavefront=True)
+    if cfg.auto_features:
+        import dataclasses
+
+        from pathtracer_tpu.render.diff import features_for_materials
+
+        cfg = dataclasses.replace(
+            cfg, features=features_for_materials(scene.materials)
+        )
     mesh = mesh or make_mesh()
     if base_key is None:
         base_key = jax.random.PRNGKey(cfg.seed)
