@@ -7,11 +7,15 @@ every stage's HBM round-trip and the ``[N, 3]``-layout padding between
 them; here the whole bounce lives in VMEM registers as component planes,
 and the only HBM traffic is the 16 input + 19 output state planes.
 
-Scope: forward engines, analytic scenes (``scene.meshes == ()``), fast
-counter-hash RNG.  Everything else falls back to the split path in
-render/common.py, which stays the source of truth — this kernel is a
-plane-for-plane transcription of those exact expressions (the test suite
-pins them equal in interpret mode).
+Scope: forward engines, fast counter-hash RNG, procedural textures.
+Mesh scenes run the **mesh-merge** variant: the nearest-triangle winner is
+computed outside by the XLA chunked-LBVH traversal and merged in as extra
+input planes, and the NEE shadow ray exits as extra output planes for its
+triangle-occlusion test (see ``bounce_fused``) — shading stays fully
+fused.  Image textures and Cook-Torrance materials fall back to the split
+path in render/common.py, which stays the source of truth — this kernel
+is a plane-for-plane transcription of those exact expressions (the test
+suite pins them equal in interpret mode).
 
 Vectors are tuples of ``[rows, 128]`` planes; the ``v*`` helpers make the
 transcription read like the [N, 3] original.  The per-geom/material/light
@@ -380,22 +384,42 @@ def _sample_lights_planes(ldata_ref, scal_ref, n_geoms, u0, u1, u2, u3):
 # ---------------------------------------------------------------------------
 
 def _bounce_kernel(
-    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref,
-    # input planes
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    tx_ref, ty_ref, tz_ref,
-    sample_ref, depth_ref, pspec_ref,
-    mar_ref, mag_ref, mab_ref, ms_ref,
-    # output planes
-    cr_ref, cg_ref, cb_ref,
-    nox_ref, noy_ref, noz_ref,
-    ndx_ref, ndy_ref, ndz_ref,
-    tmr_ref, tmg_ref, tmb_ref,
-    term_ref, wspec_ref, rru_ref,
-    omr_ref, omg_ref, omb_ref, oms_ref,
-    *,
+    *refs,
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
+    mesh_merge: bool = False,
 ):
+    # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
+    # under NEE, 11 output planes — see bounce_fused)
+    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
+    (
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        tx_ref, ty_ref, tz_ref,
+        sample_ref, depth_ref, pspec_ref,
+        mar_ref, mag_ref, mab_ref, ms_ref,
+    ) = refs[5:21]
+    i = 21
+    if mesh_merge:
+        (
+            et_ref, epox_ref, epoy_ref, epoz_ref,
+            enx_ref, eny_ref, enz_ref, emid_ref,
+        ) = refs[i : i + 8]
+        i += 8
+    (
+        cr_ref, cg_ref, cb_ref,
+        nox_ref, noy_ref, noz_ref,
+        ndx_ref, ndy_ref, ndz_ref,
+        tmr_ref, tmg_ref, tmb_ref,
+        term_ref, wspec_ref, rru_ref,
+        omr_ref, omg_ref, omb_ref, oms_ref,
+    ) = refs[i : i + 19]
+    i += 19
+    if mesh_merge and nee:
+        (
+            shx_ref, shy_ref, shz_ref,
+            wix_ref, wiy_ref, wiz_ref,
+            ldist_ref, neer_ref, neeg_ref, neeb_ref, cv_ref,
+        ) = refs[i : i + 11]
+
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
@@ -446,6 +470,22 @@ def _bounce_kernel(
         nw[1] = jnp.where(sel, m[1] * n_obj[0] + m[5] * n_obj[1] + m[9] * n_obj[2], nw[1])
         nw[2] = jnp.where(sel, m[2] * n_obj[0] + m[6] * n_obj[1] + m[10] * n_obj[2], nw[2])
     normal = vnormalize(tuple(nw), 1e-24)
+
+    # ---- mesh-winner merge: the nearest-triangle hit across the scene's
+    # MESH instances is computed OUTSIDE the kernel (XLA chunked-LBVH
+    # traversal, ops/intersect.mesh_only_hit) and merged into the analytic
+    # winner here — triangles stream through the accel scan once, the
+    # shading stays fully fused.
+    if mesh_merge:
+        et = et_ref[:]
+        mb = et < best_t
+        best_t = jnp.where(mb, et, best_t)
+        mid = jnp.where(mb, emid_ref[:], mid)
+        hit = best_t < BIG
+        t_safe = jnp.where(hit, best_t, 1.0)
+        p = vadd(o, vscale(t_safe, d))
+        p_obj = vwhere(mb, (epox_ref[:], epoy_ref[:], epoz_ref[:]), p_obj)
+        normal = vwhere(mb, (enx_ref[:], eny_ref[:], enz_ref[:]), normal)
 
     # ---- material fetch
     mat = _material_fetch(mat_ref, mid, n_materials)
@@ -560,7 +600,7 @@ def _bounce_kernel(
         diffuse_lane = hit & (~emissive) & (~sc["is_specular"]) & (~vol_scatter)
         candidate = diffuse_lane & ls["valid"] & (cos_x > 0) & (cos_y > 0)
 
-        # shadow occlusion: second unrolled geom loop
+        # shadow occlusion vs the analytic geoms: second unrolled geom loop
         occ_t = jnp.full(o[0].shape, BIG, jnp.float32)
         for g in range(n_geoms):
             t_g, _ = _geom_t(g, gdata_ref, *x, *wi, t_min)
@@ -573,8 +613,20 @@ def _bounce_kernel(
         nee_rgb = vscale(
             nee_scale, vmul(vmul(throughput, mat["color"]), tuple(ls["emit"]))
         )
-        add = candidate & visible
-        contrib = vadd(contrib, vwhere(add, nee_rgb, zero3))
+        if mesh_merge:
+            # triangle occlusion of the in-kernel shadow ray can't be
+            # tested here — emit the shadow ray + pending NEE term; the
+            # wrapper tests mesh occlusion (XLA accel) and adds it in.
+            # min(analytic_t, mesh_t) >= thresh == (analytic vis) & (mesh
+            # vis), so splitting the test is exact.
+            shx_ref[:], shy_ref[:], shz_ref[:] = x
+            wix_ref[:], wiy_ref[:], wiz_ref[:] = wi
+            ldist_ref[:] = dist
+            neer_ref[:], neeg_ref[:], neeb_ref[:] = nee_rgb
+            cv_ref[:] = jnp.where(candidate & visible, 1.0, 0.0)
+        else:
+            add = candidate & visible
+            contrib = vadd(contrib, vwhere(add, nee_rgb, zero3))
 
     # ---- in-medium scatter (render/common.py tail)
     vol_pos = vadd(o, vscale(free_path, d))
@@ -634,15 +686,23 @@ def bounce_fused(
 ):
     """Run the fused bounce kernel; returns a render.common.BounceResult.
 
-    Preconditions (enforced by the caller, render/common.py):
-    ``scene.meshes == ()`` and ``cfg.fast_rng``."""
+    Mesh scenes run the **mesh-merge** variant: the nearest-triangle winner
+    (XLA chunked-LBVH, ops/intersect.mesh_only_hit) enters the kernel as 8
+    extra input planes, and under NEE the shadow ray exits as 11 extra
+    output planes so its triangle occlusion can be tested outside — the
+    full shading/NEE/BSDF/volumetric pipeline stays fused either way.
+
+    Precondition (enforced by the caller, render/common.py):
+    ``cfg.fast_rng`` and no image textures."""
     from pathtracer_tpu.ops.rng import key_to_seed
     from pathtracer_tpu.render.common import BounceResult
+    from pathtracer_tpu.scene.structs import Rays
 
     n = origin.shape[0]
     tile = ROWS * LANES
     npad = -(-n // tile) * tile
     rows = npad // LANES
+    mesh_merge = bool(scene.meshes)
 
     depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
     planes = (
@@ -654,6 +714,19 @@ def bounce_fused(
         + _to_planes(prev_specular.astype(jnp.float32), npad)
         + _to_planes(medium_sigma, npad)
     )
+    if mesh_merge:
+        from pathtracer_tpu.ops.intersect import mesh_only_hit
+
+        et, epobj, enrm, emid, _ = mesh_only_hit(
+            Rays(origin=origin, direction=direction),
+            scene.geoms, scene.meshes, T_MIN,
+        )
+        planes += (
+            _to_planes(et, npad)
+            + _to_planes(epobj, npad)
+            + _to_planes(enrm, npad)
+            + _to_planes(emid, npad)
+        )
 
     gdata = _pack_gdata(scene.geoms)
     mdata = pack_material_table(scene.materials)
@@ -666,6 +739,8 @@ def bounce_fused(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
+    n_in = 16 + (8 if mesh_merge else 0)
+    n_out = 19 + (11 if (mesh_merge and cfg.nee) else 0)
     outs = pl.pallas_call(
         functools.partial(
             _bounce_kernel,
@@ -673,11 +748,12 @@ def bounce_fused(
             n_materials=scene.materials.count,
             nee=cfg.nee,
             t_min=T_MIN,
+            mesh_merge=mesh_merge,
         ),
         grid=grid,
-        in_specs=[smem] * 5 + [plane] * 16,
-        out_specs=tuple([plane] * 19),
-        out_shape=tuple([fshp] * 19),
+        in_specs=[smem] * 5 + [plane] * n_in,
+        out_specs=tuple([plane] * n_out),
+        out_shape=tuple([fshp] * n_out),
         interpret=interpret,
     )(gdata, mdata, ldata, scal, seed, *planes)
 
@@ -687,8 +763,25 @@ def bounce_fused(
     def unp3(i):
         return jnp.stack([unp(i), unp(i + 1), unp(i + 2)], axis=-1)
 
+    contrib = unp3(0)
+    if mesh_merge and cfg.nee:
+        # resolve the deferred NEE term: triangle occlusion of the
+        # in-kernel shadow ray (exact split — see the kernel comment)
+        from pathtracer_tpu.ops.intersect import mesh_only_occlusion
+
+        sh_o = unp3(19)
+        sh_d = unp3(22)
+        dist = unp(25)
+        nee_rgb = unp3(26)
+        cand_vis = unp(29) > 0.5
+        occ = mesh_only_occlusion(
+            Rays(origin=sh_o, direction=sh_d), scene.geoms, scene.meshes, T_MIN
+        )
+        visible = cand_vis & (occ >= dist - 4.0 * RAY_BIAS)
+        contrib = contrib + jnp.where(visible[:, None], nee_rgb, 0.0)
+
     return BounceResult(
-        contrib=unp3(0),
+        contrib=contrib,
         next_origin=unp3(3),
         next_direction=unp3(6),
         throughput_mult=unp3(9),

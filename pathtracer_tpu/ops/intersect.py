@@ -422,6 +422,52 @@ def mt_single(o_obj, d_obj, tri, t_min=T_MIN):
     return jnp.where(ok, t, BIG), jnp.cross(e1, e2)
 
 
+def mesh_only_hit(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN):
+    """Nearest hit across the MESH instances only: ``(t [N], p_obj [N,3],
+    normal_world_unit [N,3], material_id [N], geom_id [N])`` with
+    ``t >= BIG`` = miss.  Used by the fused bounce kernel's mesh-merge
+    path (ops/bounce_pallas.py) and the split Pallas intersector: the
+    analytic winner search runs in-kernel and this externally-computed
+    mesh winner is merged in."""
+    n = rays.origin.shape[0]
+    t = jnp.full((n,), BIG, jnp.float32)
+    pobj = jnp.zeros((n, 3), jnp.float32)
+    nrm = jnp.zeros((n, 3), jnp.float32)
+    mid = jnp.zeros((n,), jnp.int32)
+    gid = jnp.zeros((n,), jnp.int32)
+    for m in meshes:
+        gi = m.geom_index
+        inv = geoms.inv_transform[gi]
+        o_obj = transform_point(inv, rays.origin)
+        d_obj = transform_dir(inv, rays.direction)
+        mt, mn = mesh_query(m, o_obj, d_obj, t_min)
+        better = mt < t
+        t_safe = jnp.where(better, mt, 1.0)
+        mpo = o_obj + t_safe[:, None] * d_obj
+        mn_unit = mn / jnp.linalg.norm(mn, axis=-1, keepdims=True).clip(1e-12)
+        mnw = transform_normal(inv, mn_unit)
+        b = better[:, None]
+        t = jnp.where(better, mt, t)
+        pobj = jnp.where(b, mpo, pobj)
+        nrm = jnp.where(b, mnw, nrm)
+        mid = jnp.where(better, geoms.material_id[gi], mid)
+        gid = jnp.where(better, gi, gid)
+    return t, pobj, nrm, mid, gid
+
+
+def mesh_only_occlusion(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN):
+    """Nearest ``t`` per ray over the MESH instances only (BIG = clear)."""
+    n = rays.origin.shape[0]
+    t = jnp.full((n,), BIG, jnp.float32)
+    for m in meshes:
+        inv = geoms.inv_transform[m.geom_index]
+        o_obj = transform_point(inv, rays.origin)
+        d_obj = transform_dir(inv, rays.direction)
+        mt, _ = mesh_query(m, o_obj, d_obj, t_min)
+        t = jnp.minimum(t, mt)
+    return t
+
+
 def occlusion_t(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> jax.Array:
     """Nearest ``t`` per ray over all geometry (BIG = clear) — the
     distance-only XLA sweep for shadow rays."""

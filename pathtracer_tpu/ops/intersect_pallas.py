@@ -285,37 +285,23 @@ def intersect_scene_pallas(
     hit = nearest_hit_planes(rays, geoms, interpret=interpret)
     if not meshes:
         return hit
-    from pathtracer_tpu.ops.intersect import mesh_query
-    from pathtracer_tpu.ops.transforms import (
-        transform_dir,
-        transform_normal,
-        transform_point,
-    )
+    from pathtracer_tpu.ops.intersect import mesh_only_hit
 
-    t, gid, mid = hit.t, hit.geom_id, hit.material_id
-    pos, pobj, nrm = hit.position, hit.position_obj, hit.normal
-    for m in meshes:
-        gi = m.geom_index
-        inv = geoms.inv_transform[gi]
-        o_obj = transform_point(inv, rays.origin)
-        d_obj = transform_dir(inv, rays.direction)
-        mt, mn = mesh_query(m, o_obj, d_obj)
-        better = mt < t
-        t_safe = jnp.where(better, mt, 1.0)
-        mp = rays.origin + t_safe[:, None] * rays.direction
-        mpo = o_obj + t_safe[:, None] * d_obj
-        mn_unit = mn / jnp.linalg.norm(mn, axis=-1, keepdims=True).clip(1e-12)
-        mnw = transform_normal(inv, mn_unit)
-        b = better[:, None]
-        t = jnp.where(better, mt, t)
-        gid = jnp.where(better, gi, gid)
-        mid = jnp.where(better, geoms.material_id[gi], mid)
-        pos = jnp.where(b, mp, pos)
-        pobj = jnp.where(b, mpo, pobj)
-        nrm = jnp.where(b, mnw, nrm)
+    mt, mpo, mnw, mmid, mgid = mesh_only_hit(rays, geoms, meshes)
+    better = mt < hit.t
+    b = better[:, None]
+    t = jnp.where(better, mt, hit.t)
+    t_safe = jnp.where(t < BIG, t, 1.0)
     return Hit(
-        t=t, hit=t < BIG, geom_id=gid, material_id=mid,
-        position=pos, position_obj=pobj, normal=nrm,
+        t=t,
+        hit=t < BIG,
+        geom_id=jnp.where(better, mgid, hit.geom_id),
+        material_id=jnp.where(better, mmid, hit.material_id),
+        position=jnp.where(
+            b, rays.origin + t_safe[:, None] * rays.direction, hit.position
+        ),
+        position_obj=jnp.where(b, mpo, hit.position_obj),
+        normal=jnp.where(b, mnw, hit.normal),
     )
 
 

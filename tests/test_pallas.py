@@ -106,6 +106,57 @@ def test_full_render_pallas_vs_xla(cornell_small):
 
 
 @pytest.mark.slow
+def test_fused_bounce_mesh_merge_matches_split_path():
+    """The mesh-merge variant of the fused bounce kernel (triangles
+    intersected by the XLA chunked-LBVH outside, winner merged in-kernel,
+    NEE shadow ray's triangle occlusion resolved outside) equals the split
+    shade_bounce on a scene with MESH instances, NEE on and off."""
+    import os
+
+    from pathtracer_tpu.render.common import shade_bounce
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scenes", "mesh_demo.txt")
+    scene = load_scene(path).scene_for_frame(0)
+    assert scene.meshes, "mesh_demo.txt must carry MESH instances"
+    n = 512
+    key = jax.random.PRNGKey(11)
+    o = jax.random.normal(jax.random.PRNGKey(20), (n, 3)) * 4.0
+    d = jax.random.normal(jax.random.PRNGKey(21), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(origin=o, direction=d)
+    tp = jax.random.uniform(jax.random.PRNGKey(22), (n, 3), minval=0.2, maxval=1.0)
+    si = jax.random.randint(jax.random.PRNGKey(23), (n,), 0, 10_000_000, jnp.int32)
+    dep = jax.random.randint(jax.random.PRNGKey(24), (n,), 0, 8, jnp.int32)
+    ps = jax.random.bernoulli(jax.random.PRNGKey(25), 0.3, (n,))
+    med = jnp.zeros((n, 4), jnp.float32)
+
+    for nee in (True, False):
+        ref = shade_bounce(
+            scene, rays, tp, si, dep, ps, key,
+            RenderConfig(nee=nee, pallas=False, fused=False), medium_sigma=med,
+        )
+        fus = shade_bounce(
+            scene, rays, tp, si, dep, ps, key,
+            RenderConfig(nee=nee, pallas=True, fused=True), medium_sigma=med,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.terminate), np.asarray(fus.terminate)
+        )
+        live = ~np.asarray(ref.terminate)
+        for f in (
+            "contrib", "next_origin", "next_direction",
+            "throughput_mult", "next_medium",
+        ):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, f))[live],
+                np.asarray(getattr(fus, f))[live],
+                rtol=2e-4, atol=2e-5,
+                err_msg=f"{f} (nee={nee})",
+            )
+
+
+@pytest.mark.slow
 def test_fused_bounce_matches_split_path(cornell_scene):
     """The fully-fused bounce megakernel (ops/bounce_pallas.py) equals the
     split shade_bounce on every live lane, across all material lobes,
