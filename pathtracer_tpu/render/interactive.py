@@ -7,6 +7,14 @@ so the TPU-native equivalent is a terminal REPL: WASD-style camera
 commands, a fast progressive preview re-rendered after every move, and an
 on-demand full-quality save.
 
+The preview is **continuously progressive**, like the reference's
+every-iteration redraw (``src/main.cpp:201-218``): while the REPL is idle
+(no pending input), it keeps accumulating ``spp``-sized sample chunks into
+the preview accumulator and rewriting the preview PNG, up to the scene's
+iteration budget — watch the file to see the image refine live.  Any
+camera move restarts the accumulator; ``refine N`` forces N extra chunks
+immediately (and is how non-tty tests drive the progressive path).
+
 Because the scene pytree's shapes never change, every re-render after the
 first reuses the same compiled executable — moving the camera only swaps
 leaf values, which is exactly the XLA-friendly way to be "interactive".
@@ -16,8 +24,9 @@ Commands (one per line, chainable: ``w w a l``):
   q / e      pedestal down / up        i / k    pitch up / down
   j / l      yaw left / right          + / -    zoom in / out (fov)
   spp N      preview samples           save [f] full-quality render
-  reset      restore the scene camera  stat     print camera state
-  help       this text                 quit     exit
+  refine N   accumulate N more chunks  reset    restore the scene camera
+  stat       print camera state        help     this text
+  quit       exit
 """
 
 from __future__ import annotations
@@ -36,8 +45,21 @@ ZOOM_DEG = 2.5  # fov step
 
 # every bare token the REPL understands (used to disambiguate "save [f]")
 _COMMANDS = frozenset(
-    "w s a d q e i k j l + - spp save reset stat help quit exit".split()
+    "w s a d q e i k j l + - spp save refine reset stat help quit exit".split()
 )
+
+
+def _input_pending(stream, timeout: float) -> bool:
+    """True if ``stream`` has input ready within ``timeout`` seconds.
+    Non-selectable streams (StringIO test rigs, pipes on exotic
+    platforms) report "pending" so the idle-refine loop steps aside."""
+    try:
+        import select
+
+        r, _, _ = select.select([stream], [], [], timeout)
+        return bool(r)
+    except (OSError, ValueError, TypeError, AttributeError):
+        return True
 
 
 def _rotate(v, axis, deg):
@@ -152,24 +174,50 @@ def interactive_loop(
     def emit(msg):
         print(msg, file=stdout, flush=True)
 
-    def preview():
+    # progressive preview state: (sum accumulator, samples done) for the
+    # CURRENT camera — any move resets it, idle time refines it
+    prog = {"accum": None, "spp": 0}
+
+    def refine_chunk():
+        """Accumulate one more preview_spp chunk and rewrite the PNG."""
         nonlocal n_renders
         cam = rig.camera(scene.camera)
         sc = dataclasses.replace(scene, camera=cam)
         t0 = time.perf_counter()
-        img, _, _ = render(sc, preview_spp, cfg, base_key=jax.random.PRNGKey(cfg.seed))
+        img, accum, _ = render(
+            sc,
+            preview_spp,
+            cfg,
+            base_key=jax.random.PRNGKey(cfg.seed),
+            accum=prog["accum"],
+            start_iteration=prog["spp"],
+        )
         jax.block_until_ready(img)
+        prog["accum"] = accum
+        prog["spp"] += preview_spp
         path = save_image(out_path, np.asarray(img))
         n_renders += 1
-        emit(
-            f"  [{rig.describe()}] {preview_spp} spp in "
-            f"{time.perf_counter() - t0:.2f}s -> {path}"
-        )
+        return path, time.perf_counter() - t0
+
+    def preview():
+        prog["accum"] = None
+        prog["spp"] = 0
+        path, dt = refine_chunk()
+        emit(f"  [{rig.describe()}] {prog['spp']} spp in {dt:.2f}s -> {path}")
 
     emit(f"[interactive] {w}x{h}, preview {preview_spp} spp — 'help' for keys")
     preview()
     n_cmds = 0
-    for line in stdin:
+    while True:
+        # progressive-while-idle: keep refining the preview until input
+        # arrives or the scene's iteration budget is reached
+        while prog["spp"] < full_spp and not _input_pending(stdin, 0.0):
+            refine_chunk()
+            if max_commands is not None and n_renders > max_commands + 64:
+                break  # safety valve for driverless test rigs
+        line = stdin.readline()
+        if not line:
+            break
         tokens = line.split()
         i = 0
         while i < len(tokens):
@@ -183,6 +231,9 @@ def interactive_loop(
             # token into the command; '=' forms stay supported
             if cmd_l == "spp" and i < len(tokens):
                 cmd_l = f"spp={tokens[i]}"
+                i += 1
+            elif cmd_l == "refine" and i < len(tokens):
+                cmd_l = f"refine={tokens[i]}"
                 i += 1
             elif cmd_l == "save" and i < len(tokens) and tokens[i].lower() not in _COMMANDS:
                 # "save [f]": the filename is optional — only consume the
@@ -198,6 +249,15 @@ def interactive_loop(
             elif cmd_l == "reset":
                 rig.reset()
                 preview()
+            elif cmd_l.startswith("refine"):
+                try:
+                    n_chunks = int(cmd_l.split("=", 1)[1]) if "=" in cmd_l else 1
+                except ValueError:
+                    emit(f"  ? refine wants a number, got {cmd_l.split('=', 1)[1]!r}")
+                    continue
+                for _ in range(max(1, n_chunks)):
+                    path, dt = refine_chunk()
+                emit(f"  refined to {prog['spp']} spp -> {path}")
             elif cmd_l.startswith("spp="):
                 try:
                     preview_spp = max(1, int(cmd_l.split("=", 1)[1]))

@@ -51,3 +51,35 @@ def test_scripted_session(cornell, tmp_path):
     assert os.path.exists(out)
     assert os.path.exists(out.replace(".png", ".full.png"))
     assert "eye=" in log and "preview spp = 2" in log
+
+
+def test_progressive_refine_matches_single_render(cornell, tmp_path):
+    """'refine N' accumulates progressively: the preview after refining to
+    K total spp equals one fresh render at K spp (same base key) — the
+    continuously-updating-display contract (reference main.cpp:201-218)."""
+    import dataclasses
+
+    import jax
+
+    from pathtracer_tpu.render.integrator import render
+    from pathtracer_tpu.utils.imageio import load_png
+
+    desc = dataclasses.replace(cornell, resolution=(32, 32))
+    cfg = RenderConfig(max_depth=2, wavefront=False, iters_per_launch=2)
+    out = str(tmp_path / "prog.png")
+    stdin = io.StringIO("refine 3\nquit\n")  # 2 spp initial + 3x2 = 8 total
+    stdout = io.StringIO()
+    n = interactive_loop(
+        desc, 0, cfg, preview_spp=2, out_path=out, full_spp=64,
+        stdin=stdin, stdout=stdout,
+    )
+    assert n == 4  # initial preview + 3 refines
+    assert "refined to 8 spp" in stdout.getvalue()
+
+    scene = desc.scene_for_frame(0)
+    img, _, _ = render(scene, 8, cfg, base_key=jax.random.PRNGKey(cfg.seed))
+    got = load_png(out).astype(np.float32)
+    want = np.asarray(
+        np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1.0)  # quantization only
