@@ -82,7 +82,7 @@ def params_from_description(desc, frame: int = 0):
     """SceneDescription -> (SceneParams, SceneStatic)."""
     from pathtracer_tpu.ops.camera import derive_fov
 
-    mesh_tris = desc.mesh_tris or ()
+    mesh_tris = desc.mesh_tris_for_frame(frame)
     mesh_verts = tuple(
         jnp.asarray(t, jnp.float32) for t in mesh_tris if t is not None
     )

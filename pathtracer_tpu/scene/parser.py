@@ -201,10 +201,40 @@ def parse_scene_text(
         for field in all_fields
     }
 
+    def _finish_mesh(o, path):
+        tris = _load_mesh(path, scene_dir)
+        if o["displace"] is not None:
+            from pathtracer_tpu.scene.displace import displace_mesh
+
+            amount, levels, mode, arg = o["displace"]
+            tris = displace_mesh(tris, amount, levels, mode, arg)
+        return tris
+
     mesh_tris = tuple(
-        _load_mesh(o["mesh_path"], scene_dir) if o["type"] == MESH else None
+        _finish_mesh(o, o["mesh_path"]) if o["type"] == MESH else None
         for o in objects
     )
+    # deformational animation: per-frame FILE overrides -> per-frame vertex
+    # arrays (same triangle count required, so motion blur can lerp them)
+    mesh_tris_frames = []
+    for g, o in enumerate(objects):
+        if o["type"] != MESH or not any(f is not None for f in o["frame_files"]):
+            mesh_tris_frames.append(None)
+            continue
+        per_frame = []
+        for f, override in enumerate(o["frame_files"]):
+            tris = (
+                _finish_mesh(o, override) if override is not None else mesh_tris[g]
+            )
+            if tris.shape != mesh_tris[g].shape:
+                raise SceneParseError(
+                    f"{name}: deforming mesh frame {f} has "
+                    f"{tris.shape[0]} triangles, frame 0 has "
+                    f"{mesh_tris[g].shape[0]} — topology must match"
+                )
+            per_frame.append(tris)
+        mesh_tris_frames.append(tuple(per_frame))
+    mesh_tris_frames = tuple(mesh_tris_frames)
 
     return SceneDescription(
         frames=n_frames,
@@ -231,6 +261,7 @@ def parse_scene_text(
         materials=mat_soa,
         mesh_tris=mesh_tris,
         texture_images=texture_images,
+        mesh_tris_frames=mesh_tris_frames,
     )
 
 
@@ -338,10 +369,31 @@ def _parse_object(advance, peek, name):
         "type": gtype,
         "material": material,
         "mesh_path": type_tok if gtype == MESH else None,
+        "displace": None,  # (amount, levels, mode, arg) — elective
         "trans": [],
         "rotat": [],
         "scale": [],
+        "frame_files": [],  # per-frame mesh override (deformation elective)
     }
+    # optional object-level extension: DISPLACE <amount> <levels> [sin <freq>]
+    # — displacement mapping (hard elective, reference README.md:63-66):
+    # the mesh is midpoint-subdivided <levels> times and every vertex is
+    # moved along its area-weighted vertex normal by amount * h(p)
+    nxt = peek()
+    if nxt is not None and nxt[0].upper() == "DISPLACE":
+        advance()
+        if gtype != MESH:
+            raise SceneParseError(f"{name}: DISPLACE only applies to meshes")
+        amount = float(nxt[1])
+        levels = int(nxt[2])
+        mode, arg = "sin", 8.0
+        if len(nxt) > 3:
+            mode = nxt[3].lower()
+            if mode not in ("sin",):
+                raise SceneParseError(f"{name}: unknown DISPLACE mode {nxt[3]!r}")
+            if len(nxt) > 4:
+                arg = float(nxt[4])
+        obj["displace"] = (amount, levels, mode, arg)
     while True:
         toks = peek()
         if toks is None or toks[0].upper() != "FRAME":
@@ -351,12 +403,23 @@ def _parse_object(advance, peek, name):
         if frame_idx != len(obj["trans"]):
             raise SceneParseError(f"{name}: object frames must be sequential")
         frame = {}
-        for _ in range(3):
+        frame_file = None
+        while len(frame) < 3 or (peek() and peek()[0].upper() == "FILE"):
             ptoks = advance()
-            frame[ptoks[0].upper()] = [float(v) for v in ptoks[1:4]]
+            key = ptoks[0].upper()
+            if key == "FILE":
+                # per-frame mesh override: deformational animation elective
+                if gtype != MESH:
+                    raise SceneParseError(
+                        f"{name}: per-frame FILE only applies to meshes"
+                    )
+                frame_file = ptoks[1]
+                continue
+            frame[key] = [float(v) for v in ptoks[1:4]]
         obj["trans"].append(frame["TRANS"])
         obj["rotat"].append(frame["ROTAT"])
         obj["scale"].append(frame["SCALE"])
+        obj["frame_files"].append(frame_file)
     if not obj["trans"]:
         raise SceneParseError(f"{name}: object has no frames")
     return obj
@@ -368,7 +431,16 @@ def load_scene(path: str) -> SceneDescription:
     with open(path, "r") as f:
         text = f.read()
     scene_dir = os.path.dirname(os.path.abspath(path))
-    has_ext = "TEXTURE" in text or "BUMP" in text or "BRDF" in text
+    # extensions the native parser doesn't know; ".obj" catches both mesh
+    # scenes (which need python-side mesh-path capture anyway) and the
+    # per-frame FILE deformation lines
+    has_ext = (
+        "TEXTURE" in text
+        or "BUMP" in text
+        or "BRDF" in text
+        or "DISPLACE" in text
+        or ".obj" in text.lower()
+    )
     try:
         from pathtracer_tpu.utils import native
 

@@ -202,6 +202,23 @@ class SceneDescription:
     # decoded linear-light image textures ([Hi,Wi,3] float arrays), indexed
     # by the materials' texture_image field
     texture_images: tuple = ()
+    # deformational animation (hard elective): per-object tuple of per-FRAME
+    # vertex arrays ([T,3,3], same triangle count every frame) or None —
+    # produced by per-frame ``FILE other.obj`` lines in the DSL.  Motion
+    # blur lerps these vertices continuously across the shutter interval
+    # (render/motion.py), which is deformational motion blur.
+    mesh_tris_frames: tuple = ()
+
+    def mesh_tris_for_frame(self, frame: int) -> tuple:
+        """Per-object triangle arrays at ``frame`` (deforming meshes pick
+        that frame's vertices; rigid meshes return their single array)."""
+        base = self.mesh_tris or ()
+        anim = self.mesh_tris_frames or ()
+        out = []
+        for g, tris in enumerate(base):
+            per_frame = anim[g] if g < len(anim) else None
+            out.append(per_frame[frame] if per_frame is not None else tris)
+        return tuple(out)
 
     def scene_for_frame(self, frame: int) -> Scene:
         """Select one animation frame into a device-ready :class:`Scene`
@@ -235,7 +252,7 @@ class SceneDescription:
 
         meshes = tuple(
             mk_mesh(g, tris)
-            for g, tris in enumerate(self.mesh_tris or ())
+            for g, tris in enumerate(self.mesh_tris_for_frame(frame))
             if tris is not None
         )
         textures = None
