@@ -42,7 +42,10 @@ class RenderConfig:
     # differentiable path (render/diff.py) always uses the XLA sweep.
     fused: bool | None = None  # fully-fused bounce megakernel
     # (ops/bounce_pallas.py).  None = auto: on whenever the pallas path is
-    # active, the scene has no meshes, and fast_rng is on.
+    # active, fast_rng is on, and the scene uses no image textures or
+    # Cook-Torrance materials (meshes ARE supported via the mesh-merge
+    # variant).  The auto path warns once when it declines for a reason
+    # the scene author controls (textures / microfacet / slow RNG).
     grad_lean: bool = False  # gradient-lean intersection: winner search
     # under stop_gradient (Pallas kernel when pallas is active), O(N)
     # differentiable recompute of the winning primitive only, and a

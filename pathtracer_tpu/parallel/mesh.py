@@ -45,7 +45,16 @@ def initialize_distributed():
     if addr is None:
         return
     kwargs = {"coordinator_address": addr}
-    if "JAX_NUM_PROCESSES" in os.environ:
+    has_n = "JAX_NUM_PROCESSES" in os.environ
+    has_id = "JAX_PROCESS_ID" in os.environ
+    if has_n != has_id:
+        missing = "JAX_PROCESS_ID" if has_n else "JAX_NUM_PROCESSES"
+        raise RuntimeError(
+            "distributed launch misconfigured: JAX_NUM_PROCESSES and "
+            f"JAX_PROCESS_ID must be set together; {missing} is missing "
+            f"(JAX_COORDINATOR_ADDRESS={addr})"
+        )
+    if has_n:
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(**kwargs)

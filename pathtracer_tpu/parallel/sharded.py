@@ -194,14 +194,9 @@ def render_sharded(
     from pathtracer_tpu.ops.tonemap import tonemap
 
     cfg = cfg or RenderConfig(wavefront=True)
-    if cfg.auto_features:
-        import dataclasses
+    from pathtracer_tpu.render.diff import resolve_features
 
-        from pathtracer_tpu.render.diff import features_for_materials
-
-        cfg = dataclasses.replace(
-            cfg, features=features_for_materials(scene.materials)
-        )
+    cfg = resolve_features(cfg, scene.materials)
     mesh = mesh or make_mesh()
     if base_key is None:
         base_key = jax.random.PRNGKey(cfg.seed)

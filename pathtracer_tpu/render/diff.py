@@ -289,13 +289,21 @@ def l2_loss(
     )[0]
 
 
+# every optional physics block shade_bounce knows how to materialize —
+# the safe superset (enabling a feature no material uses is an exact
+# no-op on the image; DROPPING a used one is not)
+ALL_FEATURES = ("texture", "bump", "volumetric", "glossy", "microfacet")
+
+
 def features_for_materials(materials) -> tuple:
     """The minimal ``RenderConfig.features`` for a concrete material
     table.  Dropping a feature no material uses cannot change the image
     (the gated blocks are exact no-ops at zero parameters) but removes
     their ops — and, under ``jax.grad``, their transposes — from the
     compiled graph.  Requires concrete (non-traced) materials; returns
-    the full feature set when handed tracers."""
+    the full feature superset (:data:`ALL_FEATURES`) when handed tracers,
+    since enabling an unused feature is a no-op while dropping a used one
+    is not (ADVICE r2)."""
     import numpy as np
 
     try:
@@ -317,13 +325,25 @@ def features_for_materials(materials) -> tuple:
             feats.append("microfacet")
         return tuple(feats)
     except jax.errors.TracerArrayConversionError:
-        return RenderConfig().features
+        return ALL_FEATURES
+
+
+_DEFAULT_FEATURES = RenderConfig().features
+
+
+def resolve_features(cfg: RenderConfig, materials) -> RenderConfig:
+    """Apply ``auto_features`` at a render entry point, honoring explicit
+    pins: a user-supplied non-default ``features`` tuple is treated as an
+    implicit pin and never overwritten (ADVICE r2 — previously a caller
+    constructing ``RenderConfig(features=...)`` was silently overridden
+    unless they also knew to set ``auto_features=False``)."""
+    if not cfg.auto_features or cfg.features != _DEFAULT_FEATURES:
+        return cfg
+    return dataclasses.replace(cfg, features=features_for_materials(materials))
 
 
 def _trim(cfg: RenderConfig, params: SceneParams) -> RenderConfig:
-    return dataclasses.replace(
-        cfg, features=features_for_materials(params.materials)
-    )
+    return resolve_features(cfg, params.materials)
 
 
 @functools.lru_cache(maxsize=None)

@@ -138,17 +138,12 @@ def render(
     ``accum``/``start_iteration`` allow resuming (checkpoint support,
     SURVEY.md §5)."""
     cfg = cfg or RenderConfig()
-    if cfg.auto_features:
-        # trim unused optional physics blocks AND enable scene-required
-        # ones (e.g. "microfacet" for BRDF cooktorrance materials) from
-        # the concrete material table
-        import dataclasses
+    # trim unused optional physics blocks AND enable scene-required ones
+    # (e.g. "microfacet" for BRDF cooktorrance materials) from the
+    # concrete material table; explicit features pins are honored
+    from pathtracer_tpu.render.diff import resolve_features
 
-        from pathtracer_tpu.render.diff import features_for_materials
-
-        cfg = dataclasses.replace(
-            cfg, features=features_for_materials(scene.materials)
-        )
+    cfg = resolve_features(cfg, scene.materials)
     if base_key is None:
         base_key = jax.random.PRNGKey(cfg.seed)
     w, h = scene.camera.width, scene.camera.height

@@ -81,6 +81,7 @@ def render_motion(
     """Motion-blurred render of the shutter interval [frame, frame+1].
     Returns ``(image, accum, stats)`` like integrator.render."""
     from pathtracer_tpu.ops.tonemap import tonemap
+    from pathtracer_tpu.render.diff import resolve_features
 
     cfg = cfg or RenderConfig()
     if frame + 1 >= desc.frames:
@@ -92,6 +93,10 @@ def render_motion(
         base_key = jax.random.PRNGKey(cfg.seed)
     p0, static = params_from_description(desc, frame)
     p1, _ = params_from_description(desc, frame + 1)
+    # scene-driven feature resolution, same as integrator.render — without
+    # it a BRDF cooktorrance scene rendered through the motion path would
+    # silently shade as mirror/Phong (ADVICE r2, medium)
+    cfg = resolve_features(cfg, p0.materials)
     w, h = desc.resolution
     accum = jnp.zeros((w * h, 3), jnp.float32)
 
