@@ -11,6 +11,7 @@ advance (``main.cpp:163-173``), and checkpoint/resume.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -68,6 +69,14 @@ def build_argparser():
         help="force a jax platform (e.g. cpu) before first device use",
     )
     p.add_argument(
+        "--sharded",
+        action="store_true",
+        help="render on every addressable device (1-D jax.sharding.Mesh, "
+        "strided pixel ownership); multi-host via jax.distributed when "
+        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID "
+        "are set (see parallel/mesh.py)",
+    )
+    p.add_argument(
         "--interactive",
         action="store_true",
         help="interactive camera REPL (elective: WASD moves, live preview)",
@@ -94,6 +103,15 @@ def main(argv=None):
         parser.error("a scene file is required (scene=<file> or --scene)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.sharded:
+        if args.interactive or args.motion_blur:
+            parser.error("--sharded does not combine with --interactive/--motion-blur")
+        # multi-host rendezvous (no-op single-host) MUST precede first
+        # device use — the analog of the reference binding its device in
+        # the entry point (main.cpp:296-305)
+        from pathtracer_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
 
     desc = load_scene(args.scene)
     spp = args.spp if args.spp is not None else desc.iterations
@@ -118,22 +136,37 @@ def main(argv=None):
         )
         return 0
 
+    mesh = None
+    if args.sharded:
+        from pathtracer_tpu.parallel.mesh import make_mesh
+        from pathtracer_tpu.parallel.sharded import gather_image, render_sharded
+
+        mesh = make_mesh()
+        cfg = dataclasses.replace(cfg, wavefront=True)
+    is_main = jax.process_index() == 0
+
     frames = range(desc.frames) if args.all_frames else [args.frame]
     for frame in frames:
         scene = desc.scene_for_frame(frame)
         w, h = scene.camera.width, scene.camera.height
-        print(
-            f"[pathtracer-tpu] frame {frame}: {w}x{h}, {spp} spp, depth "
-            f"{cfg.max_depth}, engine={args.engine}, devices={jax.device_count()}"
-        )
+        if is_main:
+            print(
+                f"[pathtracer-tpu] frame {frame}: {w}x{h}, {spp} spp, depth "
+                f"{cfg.max_depth}, engine={args.engine}, "
+                f"devices={jax.device_count()}"
+                + (f" (sharded, {jax.process_count()} process(es))" if args.sharded else "")
+            )
 
         accum = None
         start_it = 0
         if args.checkpoint:
             state = ckpt.load(args.checkpoint)
             if state is not None and state["frame"] == frame:
+                # checkpoints are pixel-ordered — layout-independent, so a
+                # single-device checkpoint resumes sharded and vice versa
                 accum, start_it = state["accum"], int(state["spp_done"])
-                print(f"  resumed at {start_it} spp from {args.checkpoint}")
+                if is_main:
+                    print(f"  resumed at {start_it} spp from {args.checkpoint}")
 
         t0 = time.perf_counter()
         last = {"t": t0, "spp": start_it}
@@ -141,14 +174,28 @@ def main(argv=None):
         def progress(done_in_run, acc, *, _frame=frame):
             done = start_it + done_in_run
             now = time.perf_counter()
-            if args.preview_every and done % args.preview_every == 0:
+            want_preview = args.preview_every and done % args.preview_every == 0
+            want_ckpt = (
+                args.checkpoint
+                and args.checkpoint_every
+                and done % args.checkpoint_every == 0
+            )
+            if args.sharded and (want_preview or want_ckpt):
+                # device-major sharded accumulator -> pixel order (the
+                # only cross-device data movement outside image readout)
+                acc = gather_image(acc, mesh)
+            if want_preview and is_main:
                 img = np.asarray(tonemap(acc.reshape(h, w, 3), done))
-                save_image(_out_path(args, desc, _frame, suffix=f".preview"), img)
-            if args.checkpoint and args.checkpoint_every and done % args.checkpoint_every == 0:
+                save_image(_out_path(args, desc, _frame, suffix=".preview"), img)
+            if want_ckpt and is_main:
                 ckpt.save(args.checkpoint, acc, done, _frame, cfg.seed)
             rate = (done - last["spp"]) * w * h / max(now - last["t"], 1e-9) / 1e6
             last["t"], last["spp"] = now, done
-            print(f"  {done}/{start_it + (spp - start_it)} spp  ({rate:.1f} Mpaths/s)")
+            if is_main:
+                print(
+                    f"  {done}/{start_it + (spp - start_it)} spp  "
+                    f"({rate:.1f} Mpaths/s)"
+                )
 
         if args.motion_blur:
             from pathtracer_tpu.render.motion import render_motion
@@ -156,6 +203,17 @@ def main(argv=None):
             img, accum, stats = render_motion(
                 desc, frame, spp - start_it, cfg,
                 base_key=jax.random.PRNGKey(cfg.seed), progress_fn=progress,
+            )
+        elif args.sharded:
+            img, accum, stats = render_sharded(
+                scene,
+                spp - start_it,
+                cfg,
+                mesh=mesh,
+                base_key=jax.random.PRNGKey(cfg.seed),
+                progress_fn=progress,
+                accum=accum,
+                start_iteration=start_it,
             )
         else:
             img, accum, stats = render(
@@ -169,11 +227,15 @@ def main(argv=None):
             )
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
-        out = _out_path(args, desc, frame)
-        path = save_image(out, np.asarray(img))
-        mrays = stats["rays_traced"] / dt / 1e6
-        mpaths = (spp - start_it) * w * h / dt / 1e6
-        print(f"  saved {path} ({dt:.1f}s, {mpaths:.1f} Mpaths/s, {mrays:.1f} Mrays/s)")
+        if is_main:
+            out = _out_path(args, desc, frame)
+            path = save_image(out, np.asarray(img))
+            mrays = stats["rays_traced"] / dt / 1e6
+            mpaths = (spp - start_it) * w * h / dt / 1e6
+            print(
+                f"  saved {path} ({dt:.1f}s, {mpaths:.1f} Mpaths/s, "
+                f"{mrays:.1f} Mrays/s)"
+            )
     return 0
 
 

@@ -171,6 +171,11 @@ def gather_image(accum_sharded: jax.Array, mesh) -> jax.Array:
     """Sharded device-major accumulator -> pixel-ordered [N, 3] (host)."""
     n_dev = mesh.devices.size
     n = accum_sharded.shape[0]
+    if isinstance(accum_sharded, jax.Array) and not accum_sharded.is_fully_addressable:
+        # multi-host mesh: all-gather the global array to every process
+        from jax.experimental import multihost_utils
+
+        accum_sharded = multihost_utils.process_allgather(accum_sharded, tiled=True)
     # row d*(N/D)+j  <->  global pixel d + D*j : transpose the (D, N/D) view
     return (
         jnp.asarray(accum_sharded)
@@ -180,6 +185,25 @@ def gather_image(accum_sharded: jax.Array, mesh) -> jax.Array:
     )
 
 
+def scatter_accum(accum_flat, mesh) -> jax.Array:
+    """Pixel-ordered [N, 3] -> device-major strided sharded accumulator —
+    the inverse of :func:`gather_image`; used to restore a checkpointed
+    accumulator onto the mesh (checkpoints persist in pixel order so they
+    are layout-independent: a render checkpointed on D devices resumes on
+    D' devices, or on one)."""
+    n_dev = mesh.devices.size
+    n = accum_flat.shape[0]
+    if n % n_dev:
+        raise ValueError(f"n_pixels={n} not divisible by devices={n_dev}")
+    dev_major = (
+        jnp.asarray(accum_flat, jnp.float32)
+        .reshape(n // n_dev, n_dev, 3)
+        .transpose(1, 0, 2)
+        .reshape(n, 3)
+    )
+    return jax.device_put(dev_major, accum_sharding(mesh))
+
+
 def render_sharded(
     scene: Scene,
     spp: int,
@@ -187,10 +211,18 @@ def render_sharded(
     mesh=None,
     base_key=None,
     progress_fn=None,
+    accum=None,
+    start_iteration: int = 0,
 ):
     """Multi-device progressive render; returns ``(image, accum_sharded,
     stats)`` with the image identical (up to float addition order) to the
-    single-device :func:`pathtracer_tpu.render.integrator.render`."""
+    single-device :func:`pathtracer_tpu.render.integrator.render`.
+
+    ``accum``/``start_iteration`` resume a checkpointed render (the same
+    contract as ``integrator.render``): pass the *sharded* accumulator
+    from a previous call, or a pixel-ordered ``[N, 3]`` array restored
+    from disk via :func:`scatter_accum`.  ``progress_fn(done, accum)``
+    receives the sharded accumulator — ``gather_image`` it before use."""
     from pathtracer_tpu.ops.tonemap import tonemap
 
     cfg = cfg or RenderConfig(wavefront=True)
@@ -201,14 +233,20 @@ def render_sharded(
     if base_key is None:
         base_key = jax.random.PRNGKey(cfg.seed)
     w, h = scene.camera.width, scene.camera.height
-    accum = make_accum(w * h, mesh)
+    if accum is None:
+        accum = make_accum(w * h, mesh)
+    elif getattr(accum, "sharding", None) != accum_sharding(mesh):
+        # pixel-ordered array (e.g. restored from a checkpoint): scatter
+        # into the device-major strided layout on this mesh
+        accum = scatter_accum(accum, mesh)
 
     done = 0
     counts = []
     while done < spp:
         chunk = min(cfg.iters_per_launch, spp - done)
         accum, nrays = render_chunk_sharded(
-            scene, accum, jnp.asarray(done, jnp.int32), base_key, cfg, chunk, mesh
+            scene, accum, jnp.asarray(start_iteration + done, jnp.int32),
+            base_key, cfg, chunk, mesh,
         )
         counts.append(nrays)
         done += chunk
@@ -216,6 +254,6 @@ def render_sharded(
             progress_fn(done, accum)
 
     img_flat = gather_image(accum, mesh)
-    img = tonemap(img_flat.reshape(h, w, 3), spp)
+    img = tonemap(img_flat.reshape(h, w, 3), start_iteration + spp)
     stats = {"rays_traced": float(sum(float(c) for c in counts)), "spp": spp}
     return img, accum, stats
