@@ -174,12 +174,15 @@ def interactive_loop(
     def emit(msg):
         print(msg, file=stdout, flush=True)
 
-    # progressive preview state: (sum accumulator, samples done) for the
-    # CURRENT camera — any move resets it, idle time refines it
-    prog = {"accum": None, "spp": 0}
+    # progressive preview state: (sum accumulator, samples done, last
+    # 8-bit frame written) for the CURRENT camera — any move resets it,
+    # idle time refines it
+    prog = {"accum": None, "spp": 0, "png8": None}
 
     def refine_chunk():
-        """Accumulate one more preview_spp chunk and rewrite the PNG."""
+        """Accumulate one more preview_spp chunk and rewrite the PNG
+        (skipped when the refinement is below 8-bit quantization — no
+        point re-encoding an identical frame)."""
         nonlocal n_renders
         cam = rig.camera(scene.camera)
         sc = dataclasses.replace(scene, camera=cam)
@@ -195,7 +198,12 @@ def interactive_loop(
         jax.block_until_ready(img)
         prog["accum"] = accum
         prog["spp"] += preview_spp
-        path = save_image(out_path, np.asarray(img))
+        img8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        if prog["png8"] is None or not np.array_equal(img8, prog["png8"]):
+            path = save_image(out_path, np.asarray(img))
+            prog["png8"] = img8
+        else:
+            path = out_path  # frame unchanged at 8 bits: write elided
         n_renders += 1
         return path, time.perf_counter() - t0
 
@@ -210,8 +218,12 @@ def interactive_loop(
     n_cmds = 0
     while True:
         # progressive-while-idle: keep refining the preview until input
-        # arrives or the scene's iteration budget is reached
-        while prog["spp"] < full_spp and not _input_pending(stdin, 0.0):
+        # arrives or the scene's iteration budget is reached.  The 50 ms
+        # select timeout between chunks is the backoff: the loop yields
+        # the core while waiting for input instead of busy-spinning
+        # (reference redraws per display tick, not at 100% duty —
+        # src/main.cpp:201-218)
+        while prog["spp"] < full_spp and not _input_pending(stdin, 0.05):
             refine_chunk()
             if max_commands is not None and n_renders > max_commands + 64:
                 break  # safety valve for driverless test rigs
