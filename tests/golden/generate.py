@@ -40,7 +40,16 @@ GOLDENS = [
 ]
 
 
-def render_golden(scene_path, resolution, spp):
+def render_golden(scene_path, resolution, spp, scene_perturb=None):
+    img, _ = render_golden_full(scene_path, resolution, spp, scene_perturb)
+    return img
+
+
+def render_golden_full(scene_path, resolution, spp, scene_perturb=None):
+    """Render a golden config; returns ``(tone-mapped image, fp32 linear
+    accumulator)``.  ``scene_perturb`` (Scene -> Scene) is the hook the
+    sensitivity test uses to inject a deliberate sub-quantum physics
+    change."""
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.render.integrator import render
     from pathtracer_tpu.scene.parser import load_scene
@@ -48,9 +57,17 @@ def render_golden(scene_path, resolution, spp):
     desc = load_scene(scene_path)
     desc = dataclasses.replace(desc, resolution=resolution)
     scene = desc.scene_for_frame(0)
+    if scene_perturb is not None:
+        scene = scene_perturb(scene)
     cfg = RenderConfig(wavefront=False, nee=True, max_depth=8, iters_per_launch=8)
-    img, _, _ = render(scene, spp, cfg)
-    return np.asarray(img)
+    img, accum, _ = render(scene, spp, cfg)
+    return np.asarray(img), np.asarray(accum, np.float32)
+
+
+# goldens that ALSO store the fp32 linear accumulator as .npy: the 8-bit
+# PNGs tolerate ~1% drift (quantization + XLA fusion-order jitter); the
+# npy pins the physics to ~1e-5 relative (SURVEY.md §4.3)
+FP32_GOLDENS = ("cornell_96",)
 
 
 def main():
@@ -60,10 +77,14 @@ def main():
         if not os.path.exists(path):
             print(f"skip {name}: {path} not present")
             continue
-        img = render_golden(path, res, spp)
+        img, accum = render_golden_full(path, res, spp)
         out = os.path.join(HERE, f"{name}.png")
         save_image(out, img)
         print(f"wrote {out}  mean={img.mean():.5f}")
+        if name in FP32_GOLDENS:
+            npy = os.path.join(HERE, f"{name}.npy")
+            np.save(npy, accum)
+            print(f"wrote {npy}  accum mean={accum.mean():.6f}")
 
 
 if __name__ == "__main__":

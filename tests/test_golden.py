@@ -16,7 +16,12 @@ import os
 import numpy as np
 import pytest
 
-from tests.golden.generate import GOLDENS, REFERENCE_SAMPLE_SCENE, render_golden
+from tests.golden.generate import (
+    GOLDENS,
+    REFERENCE_SAMPLE_SCENE,
+    render_golden,
+    render_golden_full,
+)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -57,6 +62,55 @@ def test_golden_cornell_400ish():
 def test_golden_glass_dof():
     """Fresnel glass + thin-lens DoF (BASELINE.md "Fresnel/DoF" row)."""
     _check_golden("glass_dof_128")
+
+
+def _fp32_golden_check(accum, rel=1e-5):
+    """Compare a fresh linear accumulator against the stored fp32 golden;
+    returns the boolean pass/fail instead of asserting (the sensitivity
+    test needs the failing direction too)."""
+    golden = np.load(os.path.join(HERE, "golden", "cornell_96.npy"))
+    assert accum.shape == golden.shape
+    return bool(np.all(np.abs(accum - golden) <= rel * (np.abs(golden) + 1e-3)))
+
+
+def _png_golden_check(img):
+    golden = _load_png01("cornell_96")
+    diff = np.abs(img - golden)
+    return bool(diff.max() <= MAX_ABS and diff.mean() <= MEAN_ABS)
+
+
+def _load_png01(name):
+    from pathtracer_tpu.utils.imageio import load_png
+
+    return load_png(os.path.join(HERE, "golden", f"{name}.png")).astype(
+        np.float32
+    ) / 255.0
+
+
+def test_golden_cornell_fp32():
+    """fp32 linear-accumulator golden: pins the physics to ~1e-5 relative,
+    ~3 decades tighter than the 8-bit PNGs (SURVEY.md §4.3)."""
+    _, path, res, spp = _BY_NAME["cornell_96"]
+    _, accum = render_golden_full(path, res, spp)
+    assert _fp32_golden_check(accum), "fp32 accumulator drifted from golden"
+
+
+def test_golden_fp32_catches_sub_quantum_drift():
+    """A sub-quantum physics perturbation (0.15% albedo scale — ~1%
+    relative on the linear accumulator after multi-bounce compounding)
+    slips under the 8-bit PNG tolerance but fails the fp32 npy golden —
+    proving the npy adds real sensitivity rather than duplicating the
+    PNG check."""
+    import dataclasses as dc
+
+    def perturb(scene):
+        mats = dc.replace(scene.materials, color=scene.materials.color * 1.0015)
+        return dc.replace(scene, materials=mats)
+
+    _, path, res, spp = _BY_NAME["cornell_96"]
+    img, accum = render_golden_full(path, res, spp, scene_perturb=perturb)
+    assert _png_golden_check(img), "perturbation should pass the loose PNG bound"
+    assert not _fp32_golden_check(accum), "perturbation must fail the fp32 golden"
 
 
 def test_reference_sample_scene_parse_contract():
