@@ -62,8 +62,9 @@ class RenderConfig:
     # a feature NO material in the scene uses is a pure no-op on the image
     # but removes its ops (and their transposes) from the compiled graph —
     # render/diff.py trims this automatically via features_for_materials().
-    # NOTE: "microfacet" (Cook-Torrance GGX) is intentionally NOT a default:
-    # it is added by auto_features when a material sets BRDF cooktorrance.
+    # NOTE: "microfacet" (Cook-Torrance GGX) and "ward" (Ward anisotropic)
+    # are intentionally NOT defaults: auto_features adds them when a
+    # material sets BRDF cooktorrance / BRDF ward.
     auto_features: bool = True  # recompute `features` from the concrete
     # material table at the render entry points (integrator.render,
     # parallel.render_sharded, render/diff.py) — both trims unused blocks

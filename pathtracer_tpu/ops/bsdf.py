@@ -53,8 +53,10 @@ class MaterialLookup:
     bump_scale: jax.Array  # [N]
     bump_amp: jax.Array  # [N]
     texture_image: jax.Array  # [N] atlas slot (-1 = none)
-    brdf_model: jax.Array  # [N] 0 = Phong glossy, 1 = Cook-Torrance GGX
-    roughness: jax.Array  # [N] GGX roughness (perceptual; alpha = r^2)
+    brdf_model: jax.Array  # [N] 0 = Phong glossy, 1 = Cook-Torrance GGX,
+    # 2 = Ward anisotropic
+    roughness: jax.Array  # [N] GGX roughness (alpha = r^2) / Ward alpha_x
+    roughness_y: jax.Array  # [N] Ward alpha_y (0 => isotropic, = alpha_x)
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -82,6 +84,7 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.texture_image[:, None],  # 23
             materials.brdf_model[:, None],  # 24
             materials.roughness[:, None],  # 25
+            materials.roughness_y[:, None],  # 26
         ],
         axis=-1,
     )
@@ -108,6 +111,7 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         texture_image=rows[:, 23],
         brdf_model=rows[:, 24],
         roughness=rows[:, 25],
+        roughness_y=rows[:, 26],
     )
 
 
@@ -260,6 +264,75 @@ def ggx_sample(n, incident, cos_i, roughness, spec_color, xi1, xi2):
     return d, weight
 
 
+def _kutz_frame(axis_dir: jax.Array):
+    """Deterministic orthonormal tangent frame ``(t1, t2)`` about
+    ``axis_dir`` via the reference's Kutz not-normal-axis trick
+    (interactions.h:73-80).  Determinism matters: Ward's anisotropy axes
+    are defined in this frame, so a given normal always maps to the same
+    brushed direction."""
+    ax = jnp.abs(axis_dir)
+    use_x = ax[..., 0] < SQRT_ONE_THIRD
+    use_y = (~use_x) & (ax[..., 1] < SQRT_ONE_THIRD)
+    not_axis = jnp.stack(
+        [
+            jnp.where(use_x, 1.0, 0.0),
+            jnp.where(use_y, 1.0, 0.0),
+            jnp.where(use_x | use_y, 0.0, 1.0),
+        ],
+        axis=-1,
+    )
+    t1 = _normalize(jnp.cross(axis_dir, not_axis))
+    t2 = _normalize(jnp.cross(axis_dir, t1))
+    return t1, t2
+
+
+def ward_sample(n, incident, cos_i, alpha_x, alpha_y, spec_color, xi1, xi2):
+    """Ward anisotropic BRDF (the remaining named elective model,
+    reference README.md:54 "Cook-Torrance, Ward, etc.") with the exact
+    half-vector importance sampling and estimator weight of Walter,
+    *Notes on the Ward BRDF* (TR nvrt-2005, eqs. 6-9):
+
+      sample:  phi_h from ``(a_x cos b, a_y sin b)``, ``b = 2 pi xi2``;
+               ``tan^2 th = -ln xi1 * (a_x^2 cos^2 b + a_y^2 sin^2 b)``
+      weight:  ``rho_s * (wi.h) * (n.h)^3 * sqrt(cos_o / cos_i)``
+
+    (the exponential cancels exactly between the BRDF and the sampling
+    pdf ``p(h) = exp(-tan^2 th * alpha(phi)) / (pi a_x a_y cos^3 th)``).
+    The anisotropy axes live in the deterministic Kutz tangent frame of
+    ``n``; ``alpha_y <= 0`` selects the isotropic case."""
+    ax_ = jnp.clip(alpha_x, 1e-3, 1.0)
+    ay_ = jnp.clip(jnp.where(alpha_y > 0.0, alpha_y, alpha_x), 1e-3, 1.0)
+    xi1 = jnp.clip(xi1, 1e-7, 1.0 - 1e-7)
+    beta = 2.0 * jnp.pi * xi2
+    cb, sb = jnp.cos(beta), jnp.sin(beta)
+    # phi_h via the elliptical warp; D = 1/alpha(phi)
+    d_inv = ax_ * ax_ * cb * cb + ay_ * ay_ * sb * sb
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(d_inv, 1e-12))
+    cos_phi = ax_ * cb * inv_len
+    sin_phi = ay_ * sb * inv_len
+    tan2 = -jnp.log(xi1) * d_inv
+    cos_th = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_th = jnp.sqrt(jnp.clip(1.0 - cos_th * cos_th, 0.0))
+
+    t1, t2 = _kutz_frame(n)
+    h = (
+        cos_th[..., None] * n
+        + (sin_th * cos_phi)[..., None] * t1
+        + (sin_th * sin_phi)[..., None] * t2
+    )
+    d = reflect(incident, h)
+    wi_dot_h = -jnp.sum(incident * h, axis=-1)  # = dot(d, h)
+    cos_o = jnp.sum(d * n, axis=-1)
+    valid = (cos_o > 0.0) & (wi_dot_h > 0.0)
+    w = (
+        wi_dot_h
+        * cos_th**3
+        * jnp.sqrt(jnp.clip(cos_o, 0.0) / jnp.clip(cos_i, 1e-6, 1.0))
+    )
+    weight = jnp.where(valid[..., None], spec_color * w[..., None], 0.0)
+    return d, weight
+
+
 def sample_bsdf(
     mat: MaterialLookup,
     position: jax.Array,
@@ -268,6 +341,7 @@ def sample_bsdf(
     u: jax.Array,
     glossy: bool = True,
     microfacet: bool = True,
+    ward: bool = True,
 ) -> ScatterSample:
     """Sample an outgoing direction + throughput multiplier per ray.
 
@@ -277,7 +351,8 @@ def sample_bsdf(
     ``glossy=False`` drops the Phong lobe from the graph (feature gating,
     RenderConfig.features) — only valid when no material has SPECEX > 0.
     ``microfacet=False`` likewise drops the Cook-Torrance GGX lobe — only
-    valid when no material has BRDF cooktorrance set.
+    valid when no material has BRDF cooktorrance set; ``ward=False`` drops
+    the Ward anisotropic lobe — only valid when no material has BRDF ward.
     """
     # orient shading normal against the incident ray; remember if we are
     # inside the object (entering vs exiting a dielectric)
@@ -326,11 +401,21 @@ def sample_bsdf(
     is_refractive = mat.has_refractive > 0.0
     is_reflective = (~is_refractive) & (mat.has_reflective > 0.0)
     if microfacet:
+        # microfacet family: 1 = Cook-Torrance GGX, 2 = Ward anisotropic —
+        # both ride the same lane (is_ct) with per-model direction/weight
         is_ct = is_reflective & (mat.brdf_model > 0.5)
         d_ct, ct_weight = ggx_sample(
             n, incident, cos_i, mat.roughness, mat.specular_color,
             u[..., 0], u[..., 1],
         )
+        if ward:
+            is_ward = mat.brdf_model > 1.5
+            d_wd, wd_weight = ward_sample(
+                n, incident, cos_i, mat.roughness, mat.roughness_y,
+                mat.specular_color, u[..., 0], u[..., 1],
+            )
+            d_ct = jnp.where(is_ward[..., None], d_wd, d_ct)
+            ct_weight = jnp.where(is_ward[..., None], wd_weight, ct_weight)
     else:
         is_ct = jnp.zeros(is_reflective.shape, bool)
         d_ct, ct_weight = d_mirror, jnp.ones_like(mat.specular_color)

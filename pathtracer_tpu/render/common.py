@@ -298,6 +298,7 @@ def shade_bounce(
         mat, hit.position, hit.normal, rays.direction, u[:, 0:3],
         glossy="glossy" in cfg.features,
         microfacet="microfacet" in cfg.features,
+        ward="ward" in cfg.features,
     )
 
     # ---- next-event estimation at diffuse hits

@@ -292,7 +292,7 @@ def l2_loss(
 # every optional physics block shade_bounce knows how to materialize —
 # the safe superset (enabling a feature no material uses is an exact
 # no-op on the image; DROPPING a used one is not)
-ALL_FEATURES = ("texture", "bump", "volumetric", "glossy", "microfacet")
+ALL_FEATURES = ("texture", "bump", "volumetric", "glossy", "microfacet", "ward")
 
 
 def features_for_materials(materials) -> tuple:
@@ -323,6 +323,8 @@ def features_for_materials(materials) -> tuple:
             feats.append("glossy")
         if (np.asarray(materials.brdf_model) > 0).any():
             feats.append("microfacet")
+        if (np.asarray(materials.brdf_model) > 1.5).any():
+            feats.append("ward")
         return tuple(feats)
     except jax.errors.TracerArrayConversionError:
         return ALL_FEATURES

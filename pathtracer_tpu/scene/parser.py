@@ -127,12 +127,19 @@ def parse_scene_text(
                     mat["bump_scale"] = float(nxt[1])
                     mat["bump_amp"] = float(nxt[2])
                 elif k == "BRDF":
-                    # BRDF cooktorrance <roughness>  (elective, README.md:54)
+                    # BRDF cooktorrance <roughness> | BRDF ward <ax> [<ay>]
+                    # (elective models named by reference README.md:54)
                     advance()
                     model = nxt[1].lower()
                     if model in ("cooktorrance", "cook-torrance", "ggx"):
                         mat["brdf_model"] = 1.0
                         mat["roughness"] = float(nxt[2])
+                    elif model == "ward":
+                        mat["brdf_model"] = 2.0
+                        mat["roughness"] = float(nxt[2])
+                        mat["roughness_y"] = (
+                            float(nxt[3]) if len(nxt) >= 4 else float(nxt[2])
+                        )
                     elif model == "phong":
                         mat["brdf_model"] = 0.0
                     else:
@@ -191,6 +198,7 @@ def parse_scene_text(
         "texture_image": -1.0,
         "brdf_model": 0.0,
         "roughness": 0.0,
+        "roughness_y": 0.0,
     }
     all_fields = [f for f, _ in _MATERIAL_KEYS.values()] + list(_EXT_DEFAULTS)
     mat_soa = {

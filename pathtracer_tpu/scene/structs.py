@@ -104,8 +104,9 @@ class Materials:
     bump_scale: jax.Array  # [M] procedural bump frequency (0 = off)
     bump_amp: jax.Array  # [M] bump strength
     texture_image: jax.Array  # [M] atlas slot for type==3 (-1 = none)
-    brdf_model: jax.Array  # [M] 0 = Phong glossy, 1 = Cook-Torrance GGX
-    roughness: jax.Array  # [M] GGX roughness (alpha = roughness^2)
+    brdf_model: jax.Array  # [M] 0 = Phong, 1 = Cook-Torrance GGX, 2 = Ward
+    roughness: jax.Array  # [M] GGX roughness (alpha = r^2) / Ward alpha_x
+    roughness_y: jax.Array  # [M] Ward alpha_y (0 => isotropic)
 
     @property
     def count(self) -> int:
@@ -306,4 +307,5 @@ def make_materials(rows: list) -> Materials:
         texture_image=col("texture_image", default=-1.0),
         brdf_model=col("brdf_model"),
         roughness=col("roughness"),
+        roughness_y=col("roughness_y"),
     )

@@ -37,6 +37,7 @@ def make_lookup(n, **kw):
         texture_image=jnp.full((n,), -1.0),
         brdf_model=jnp.zeros((n,)),
         roughness=jnp.zeros((n,)),
+        roughness_y=jnp.zeros((n,)),
     )
     base.update(kw)
     return MaterialLookup(**base)
@@ -342,3 +343,109 @@ def test_cooktorrance_render_differs_from_mirror():
     assert np.isfinite(a_c).all()
     # images must genuinely differ (the lobe is doing something)
     assert np.abs(a_c - a_m).mean() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Ward anisotropic BRDF (elective, reference README.md:54 "Ward")
+# ---------------------------------------------------------------------------
+
+
+def test_ward_dsl_parse():
+    w = BASE.format(abs="0 0 0").replace(
+        "RSCTCOEFF 0\nEMITTANCE 0\n\nMATERIAL 1",
+        "RSCTCOEFF 0\nEMITTANCE 0\nBRDF ward 0.1 0.4\n\nMATERIAL 1",
+        1,
+    )
+    desc = parse_scene_text(w)
+    assert desc.materials["brdf_model"][0] == 2.0
+    assert desc.materials["roughness"][0] == pytest.approx(0.1)
+    assert desc.materials["roughness_y"][0] == pytest.approx(0.4)
+    # single-alpha form is isotropic
+    iso = w.replace("BRDF ward 0.1 0.4", "BRDF ward 0.25")
+    d2 = parse_scene_text(iso)
+    assert d2.materials["roughness"][0] == pytest.approx(0.25)
+    assert d2.materials["roughness_y"][0] == pytest.approx(0.25)
+    # ward scenes resolve both microfacet features
+    from pathtracer_tpu.render.diff import features_for_materials
+    from pathtracer_tpu.scene.structs import Materials
+
+    mats = Materials(**{k: jnp.asarray(v) for k, v in desc.materials.items()})
+    feats = features_for_materials(mats)
+    assert "microfacet" in feats and "ward" in feats
+
+
+def test_ward_lobe_concentration_and_anisotropy():
+    """Smaller alpha => tighter lobe about the mirror direction; with
+    alpha_y >> alpha_x the scattered directions spread wider along the
+    t2 tangent than t1 (the definition of anisotropy); the estimator
+    weight at rho_s = 1 stays bounded by ~1 near normal incidence."""
+    from pathtracer_tpu.ops.bsdf import _kutz_frame, sample_bsdf
+
+    n = 20000
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    inc = jnp.tile(jnp.array([[0.3, 0.0, -0.954]]), (n, 1))
+    inc = inc / jnp.linalg.norm(inc, axis=-1, keepdims=True)
+    pos = jnp.zeros((n, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+    mirror_dir = np.asarray(inc[0] - 2 * inc[0][2] * jnp.array([0.0, 0.0, 1.0]))
+
+    def run(ax, ay):
+        mat = make_lookup(
+            n,
+            has_reflective=jnp.ones((n,)),
+            brdf_model=jnp.full((n,), 2.0),
+            roughness=jnp.full((n,), ax),
+            roughness_y=jnp.full((n,), ay),
+        )
+        s = sample_bsdf(mat, pos, normal, inc, u)
+        return np.asarray(s.direction), np.asarray(s.throughput_mult)
+
+    d_smooth, w_smooth = run(0.05, 0.05)
+    d_rough, w_rough = run(0.45, 0.45)
+    assert np.isfinite(d_smooth).all() and np.isfinite(w_smooth).all()
+    cos_smooth = (d_smooth @ mirror_dir).mean()
+    cos_rough = (d_rough @ mirror_dir).mean()
+    assert cos_smooth > 0.995 > cos_rough
+    # weight sanity: mean single-scatter albedo in (0, ~1]
+    assert 0.5 < w_smooth.mean() <= 1.02
+    assert 0.0 < w_rough.mean() <= 1.02
+
+    # anisotropy: alpha_y = 0.5, alpha_x = 0.05 spreads along t2, not t1
+    t1, t2 = _kutz_frame(normal)
+    t1 = np.asarray(t1[0])
+    t2 = np.asarray(t2[0])
+    d_aniso, _ = run(0.05, 0.5)
+    spread_t1 = np.std(d_aniso @ t1)
+    spread_t2 = np.std(d_aniso @ t2)
+    assert spread_t2 > 3.0 * spread_t1
+
+
+def test_ward_render_differs_from_ggx():
+    """End-to-end: a Ward floor renders differently from a same-alpha GGX
+    floor, and anisotropic Ward differs from isotropic Ward."""
+    mirror = BASE.format(abs="0 0 0").replace(
+        "RGB .8 .8 .8\nSPECEX 0\nSPECRGB 1 1 1\nREFL 0",
+        "RGB 0 0 0\nSPECEX 0\nSPECRGB 1 1 1\nREFL 1",
+        1,
+    )
+    def with_brdf(line):
+        return mirror.replace(
+            "RSCTCOEFF 0\nEMITTANCE 0\n\nMATERIAL 1",
+            f"RSCTCOEFF 0\nEMITTANCE 0\n{line}\n\nMATERIAL 1",
+            1,
+        )
+
+    cfg = RenderConfig(max_depth=4, iters_per_launch=8)
+
+    def accum(txt):
+        desc = parse_scene_text(txt)
+        _, a, _ = render(desc.scene_for_frame(0), 16, cfg)
+        return np.asarray(a) / 16.0
+
+    a_ggx = accum(with_brdf("BRDF cooktorrance 0.3"))
+    a_ward = accum(with_brdf("BRDF ward 0.3"))
+    a_aniso = accum(with_brdf("BRDF ward 0.05 0.6"))
+    for a in (a_ward, a_aniso):
+        assert np.isfinite(a).all()
+    assert np.abs(a_ward - a_ggx).mean() > 1e-4
+    assert np.abs(a_aniso - a_ward).mean() > 1e-4
