@@ -48,6 +48,10 @@ class MeshAccel:
     hi: jax.Array  # [C, 3] chunk AABB max
     root_lo: jax.Array  # [3]
     root_hi: jax.Array  # [3]
+    # scan row -> file-order triangle index (pad rows map to the
+    # duplicated source triangle); lets winners index per-corner
+    # attribute arrays (UVs / smooth normals) kept in file order
+    scan_to_file: jax.Array = None  # [C * 128] int32
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -78,11 +82,15 @@ def build_mesh_accel(tri_verts: np.ndarray, chunk: int = 128) -> MeshAccel:
     order = np.argsort(_morton3(q), kind="stable")
     tris = tris[order]
 
+    scan_to_file = order.astype(np.int32)
     pad = (-t_count) % chunk
     if pad:
         # pad with copies of the last triangle: duplicates cannot change a
         # nearest-hit and keep the final chunk's AABB tight
         tris = np.concatenate([tris, np.repeat(tris[-1:], pad, axis=0)], axis=0)
+        scan_to_file = np.concatenate(
+            [scan_to_file, np.repeat(scan_to_file[-1:], pad)], axis=0
+        )
     ch = tris.reshape(-1, chunk, 3, 3)
     lo = ch.min(axis=(1, 2))
     hi = ch.max(axis=(1, 2))
@@ -93,6 +101,7 @@ def build_mesh_accel(tri_verts: np.ndarray, chunk: int = 128) -> MeshAccel:
         hi=jnp.asarray(hi),
         root_lo=jnp.asarray(tris.min(axis=(0, 1))),
         root_hi=jnp.asarray(tris.max(axis=(0, 1))),
+        scan_to_file=jnp.asarray(scan_to_file),
     )
 
 

@@ -23,6 +23,8 @@ SURVEY.md §7 hard-parts list).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,12 @@ class Hit:
     position: jax.Array  # [N, 3] world-space hit point
     position_obj: jax.Array  # [N, 3] hit point in the winning geom's object space
     normal: jax.Array  # [N, 3] world-space unit normal
+    # authored texture coordinates (OBJ ``vt`` records, barycentrically
+    # interpolated at mesh hits) — None when no mesh in the scene carries
+    # them; ``uv_valid`` masks the lanes whose winner has authored UVs
+    # (other lanes fall back to procedural box/sphere mapping downstream)
+    uv: Any = None  # [N, 2]
+    uv_valid: Any = None  # [N] bool
 
 
 def _safe_div(num, den, eps=1e-12):
@@ -327,21 +335,72 @@ def mesh_scan_verts(m) -> jax.Array:
     return m.tri_verts
 
 
+def mesh_winner_attrs(m, o_obj, d_obj, best_i):
+    """Authored-attribute shading data at a mesh's winning triangles.
+
+    Given the winner's scan-order triangle row ``best_i [N]``, recompute
+    the Moeller-Trumbore barycentrics against just that triangle (an O(N)
+    gather + recompute — never O(N*T)) and interpolate the authored
+    per-corner attributes.  Attributes are stored in FILE order; scan
+    rows map through ``accel.scan_to_file`` for accelerated meshes.
+    Returns ``(smooth_normal_obj | None, uv | None)`` (realizes the
+    reference's mesh + texture electives together, README.md:57-58)."""
+    idx = jax.lax.stop_gradient(best_i)
+    if m.accel is not None:
+        idx = m.accel.scan_to_file[idx]
+    tri = m.tri_verts[idx]  # [N, 3, 3]
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    h = jnp.cross(d_obj, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = _safe_recip(a)
+    s = o_obj - v0
+    u = jnp.clip(f * jnp.sum(s * h, axis=-1), 0.0, 1.0)
+    q = jnp.cross(s, e1)
+    v = jnp.clip(f * jnp.sum(d_obj * q, axis=-1), 0.0, 1.0)
+    w0 = jnp.clip(1.0 - u - v, 0.0, 1.0)
+
+    n_sm = None
+    if m.tri_norm is not None:
+        nc = m.tri_norm[idx]  # [N, 3, 3]
+        n_sm = (
+            w0[:, None] * nc[:, 0]
+            + u[:, None] * nc[:, 1]
+            + v[:, None] * nc[:, 2]
+        )
+        n_sm = n_sm / jnp.linalg.norm(n_sm, axis=-1, keepdims=True).clip(1e-12)
+    uv = None
+    if m.tri_uv is not None:
+        uvc = m.tri_uv[idx]  # [N, 3, 2]
+        uv = (
+            w0[:, None] * uvc[:, 0]
+            + u[:, None] * uvc[:, 1]
+            + v[:, None] * uvc[:, 2]
+        )
+    return n_sm, uv
+
+
 def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> Hit:
     """Nearest-hit query for a wavefront of rays against all geoms
     (analytic primitives + any triangle-mesh instances)."""
     t_all = intersect_t_sweep(rays, geoms, t_min)  # [N, G]
 
     # merge mesh instances (static python loop; typically 0-2 per scene)
-    mesh_normals = []  # [(geom_index, n_obj [N,3])]
+    mesh_normals = []  # [(geom_index, n_obj [N,3], attrs | None)]
     for m in meshes:
         gi = m.geom_index
         inv = geoms.inv_transform[gi]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, mn = mesh_query(m, o_obj, d_obj, t_min)
+        if m.has_attrs:
+            mt, mn, mi = mesh_query(m, o_obj, d_obj, t_min, with_index=True)
+            attrs = mesh_winner_attrs(m, o_obj, d_obj, mi)
+        else:
+            mt, mn = mesh_query(m, o_obj, d_obj, t_min)
+            attrs = None
         t_all = t_all.at[:, gi].set(mt)
-        mesh_normals.append((gi, mn))
+        mesh_normals.append((gi, mn, attrs))
 
     geom_id = jnp.argmin(t_all, axis=-1).astype(jnp.int32)  # [N]
     t = jnp.min(t_all, axis=-1)
@@ -368,10 +427,20 @@ def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -
         sphere_normal_obj(p_obj),
         cube_normal_obj(p_obj),
     )
-    for gi, mn in mesh_normals:
-        sel = (geom_id == gi)[:, None]
+    n_rays = rays.origin.shape[0]
+    any_uv = any(a is not None and a[1] is not None for _, _, a in mesh_normals)
+    uv = jnp.zeros((n_rays, 2), jnp.float32) if any_uv else None
+    uv_valid = jnp.zeros((n_rays,), bool) if any_uv else None
+    for gi, mn, attrs in mesh_normals:
+        sel1 = geom_id == gi
+        sel = sel1[:, None]
         mn_unit = mn / jnp.linalg.norm(mn, axis=-1, keepdims=True).clip(1e-12)
+        if attrs is not None and attrs[0] is not None:
+            mn_unit = attrs[0]  # authored smooth normal (already unit)
         n_obj = jnp.where(sel, mn_unit, n_obj)
+        if attrs is not None and attrs[1] is not None:
+            uv = jnp.where(sel, attrs[1], uv)
+            uv_valid = uv_valid | (sel1 & hit)
     n_world = transform_normal(inv, n_obj)
 
     return Hit(
@@ -382,6 +451,8 @@ def intersect_scene(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -
         position=p_world,
         position_obj=p_obj,
         normal=n_world,
+        uv=uv,
+        uv_valid=uv_valid,
     )
 
 
@@ -422,29 +493,40 @@ def mt_single(o_obj, d_obj, tri, t_min=T_MIN):
     return jnp.where(ok, t, BIG), jnp.cross(e1, e2)
 
 
-def mesh_only_hit(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN):
+def mesh_only_hit(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN, with_attrs=False):
     """Nearest hit across the MESH instances only: ``(t [N], p_obj [N,3],
     normal_world_unit [N,3], material_id [N], geom_id [N])`` with
     ``t >= BIG`` = miss.  Used by the fused bounce kernel's mesh-merge
     path (ops/bounce_pallas.py) and the split Pallas intersector: the
     analytic winner search runs in-kernel and this externally-computed
-    mesh winner is merged in."""
+    mesh winner is merged in.  ``with_attrs`` additionally returns
+    ``(uv [N,2], uv_valid [N])`` and substitutes authored smooth normals
+    at attributed-mesh winners (OBJ vt/vn)."""
     n = rays.origin.shape[0]
     t = jnp.full((n,), BIG, jnp.float32)
     pobj = jnp.zeros((n, 3), jnp.float32)
     nrm = jnp.zeros((n, 3), jnp.float32)
     mid = jnp.zeros((n,), jnp.int32)
     gid = jnp.zeros((n,), jnp.int32)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    uv_valid = jnp.zeros((n,), bool)
     for m in meshes:
         gi = m.geom_index
         inv = geoms.inv_transform[gi]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, mn = mesh_query(m, o_obj, d_obj, t_min)
+        if with_attrs and m.has_attrs:
+            mt, mn, mi = mesh_query(m, o_obj, d_obj, t_min, with_index=True)
+            n_sm, m_uv = mesh_winner_attrs(m, o_obj, d_obj, mi)
+        else:
+            mt, mn = mesh_query(m, o_obj, d_obj, t_min)
+            n_sm, m_uv = None, None
         better = mt < t
         t_safe = jnp.where(better, mt, 1.0)
         mpo = o_obj + t_safe[:, None] * d_obj
         mn_unit = mn / jnp.linalg.norm(mn, axis=-1, keepdims=True).clip(1e-12)
+        if n_sm is not None:
+            mn_unit = n_sm
         mnw = transform_normal(inv, mn_unit)
         b = better[:, None]
         t = jnp.where(better, mt, t)
@@ -452,6 +534,13 @@ def mesh_only_hit(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN):
         nrm = jnp.where(b, mnw, nrm)
         mid = jnp.where(better, geoms.material_id[gi], mid)
         gid = jnp.where(better, gi, gid)
+        # a winning mesh WITHOUT authored UVs must clear uv_valid a
+        # previous mesh may have set on the same lane
+        uv_valid = jnp.where(better, m_uv is not None, uv_valid)
+        if m_uv is not None:
+            uv = jnp.where(b, m_uv, uv)
+    if with_attrs:
+        return t, pobj, nrm, mid, gid, uv, uv_valid
     return t, pobj, nrm, mid, gid
 
 

@@ -287,7 +287,13 @@ def intersect_scene_pallas(
         return hit
     from pathtracer_tpu.ops.intersect import mesh_only_hit
 
-    mt, mpo, mnw, mmid, mgid = mesh_only_hit(rays, geoms, meshes)
+    any_attrs = any(m.has_attrs for m in meshes)
+    if any_attrs:
+        mt, mpo, mnw, mmid, mgid, muv, muvv = mesh_only_hit(
+            rays, geoms, meshes, with_attrs=True
+        )
+    else:
+        mt, mpo, mnw, mmid, mgid = mesh_only_hit(rays, geoms, meshes)
     better = mt < hit.t
     b = better[:, None]
     t = jnp.where(better, mt, hit.t)
@@ -302,6 +308,8 @@ def intersect_scene_pallas(
         ),
         position_obj=jnp.where(b, mpo, hit.position_obj),
         normal=jnp.where(b, mnw, hit.normal),
+        uv=jnp.where(b, muv, 0.0) if any_attrs else None,
+        uv_valid=(better & muvv) if any_attrs else None,
     )
 
 

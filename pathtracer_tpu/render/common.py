@@ -96,6 +96,7 @@ def shade_bounce(
         use_pallas = jax.default_backend() == "tpu"
     interp_all = jax.default_backend() != "tpu"
     use_fused = cfg.fused
+    mesh_attrs = any(m.has_attrs for m in scene.meshes)
     if cfg.grad_lean:
         use_fused = False  # the fused kernel has no gradient path
     elif use_fused is None:
@@ -104,6 +105,7 @@ def shade_bounce(
             and scene.textures is None
             and "microfacet" not in cfg.features
             and cfg.fast_rng
+            and not mesh_attrs
         )
         if use_pallas and not use_fused:
             # the auto path is declining a scene-author-controlled fast
@@ -116,6 +118,8 @@ def shade_bounce(
                 reasons.append("Cook-Torrance materials enabled")
             if not cfg.fast_rng:
                 reasons.append("fast_rng=False")
+            if mesh_attrs:
+                reasons.append("mesh has authored UVs/normals")
             import warnings
 
             warnings.warn(
@@ -137,6 +141,8 @@ def shade_bounce(
             unsupported.append("Cook-Torrance materials enabled")
         if not cfg.fast_rng:
             unsupported.append("fast_rng=False")
+        if mesh_attrs:
+            unsupported.append("mesh has authored UVs/normals")
         if unsupported:
             import warnings
 
@@ -213,6 +219,10 @@ def shade_bounce(
         M = select_rows(onehot, jax.lax.stop_gradient(scene.geoms.transform))
         n_obj = jnp.einsum("nij,ni->nj", M[:, :3, :3], hit.normal)
         uv = compute_uv(gtype, hit.position_obj, n_obj)
+        if hit.uv is not None:
+            # authored OBJ vt coordinates take precedence over the
+            # procedural box/sphere mapping on the lanes that have them
+            uv = jnp.where(hit.uv_valid[:, None], hit.uv, uv)
         texel = sample_atlas(
             scene.textures, mat.texture_image, uv * mat.texture_scale[:, None]
         )

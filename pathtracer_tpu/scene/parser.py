@@ -218,9 +218,36 @@ def parse_scene_text(
             tris = displace_mesh(tris, amount, levels, mode, arg)
         return tris
 
-    mesh_tris = tuple(
-        _finish_mesh(o, o["mesh_path"]) if o["type"] == MESH else None
+    # load once per object: positions + authored per-corner attributes
+    # (OBJ vt/vn -> authored UVs + smooth normals).  Displaced meshes drop
+    # the attributes: displacement regenerates the geometry (new triangle
+    # count, moved vertices), so they no longer correspond.
+    mesh_data = tuple(
+        _load_mesh_full(o["mesh_path"], scene_dir) if o["type"] == MESH else None
         for o in objects
+    )
+
+    def _finish_tris(o, md):
+        if md is None:
+            return None
+        tris = md.verts
+        if o["displace"] is not None:
+            from pathtracer_tpu.scene.displace import displace_mesh
+
+            amount, levels, mode, arg = o["displace"]
+            tris = displace_mesh(tris, amount, levels, mode, arg)
+        return tris
+
+    mesh_tris = tuple(
+        _finish_tris(o, md) for o, md in zip(objects, mesh_data)
+    )
+    mesh_attrs = tuple(
+        (md.uv, md.norm)
+        if md is not None
+        and o["displace"] is None
+        and (md.uv is not None or md.norm is not None)
+        else None
+        for o, md in zip(objects, mesh_data)
     )
     # deformational animation: per-frame FILE overrides -> per-frame vertex
     # arrays (same triangle count required, so motion blur can lerp them)
@@ -270,6 +297,7 @@ def parse_scene_text(
         mesh_tris=mesh_tris,
         texture_images=texture_images,
         mesh_tris_frames=mesh_tris_frames,
+        mesh_attrs=mesh_attrs,
     )
 
 
@@ -287,15 +315,19 @@ def _load_texture(path: str) -> np.ndarray:
     return decode_srgb(load_png(path))
 
 
-def _load_mesh(token, scene_dir):
+def _load_mesh_full(token, scene_dir):
     import os as _os
 
-    from pathtracer_tpu.scene.obj import load_obj
+    from pathtracer_tpu.scene.obj import load_obj_full
 
     for cand in (token, _os.path.join(scene_dir or ".", token)):
         if _os.path.exists(cand):
-            return load_obj(cand)
+            return load_obj_full(cand)
     raise SceneParseError(f"mesh file not found: {token!r}")
+
+
+def _load_mesh(token, scene_dir):
+    return _load_mesh_full(token, scene_dir).verts
 
 
 def _parse_camera(advance, peek, name):

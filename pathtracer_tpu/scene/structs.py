@@ -153,6 +153,15 @@ class MeshInstance:
     # chunked-LBVH acceleration (ops/accel.py — the KD-tree elective);
     # None = dense sweep (small meshes)
     accel: Any = None
+    # authored per-corner attributes in FILE order (OBJ vt/vn records) —
+    # None = box-mapped UVs / flat face normals.  Winner indices map from
+    # scan order to file order via accel.scan_to_file when accelerated.
+    tri_uv: Any = None  # [T, 3, 2] float32 texture coordinates
+    tri_norm: Any = None  # [T, 3, 3] float32 unit shading normals
+
+    @property
+    def has_attrs(self) -> bool:
+        return self.tri_uv is not None or self.tri_norm is not None
 
 
 @pytree_dataclass
@@ -209,6 +218,11 @@ class SceneDescription:
     # blur lerps these vertices continuously across the shutter interval
     # (render/motion.py), which is deformational motion blur.
     mesh_tris_frames: tuple = ()
+    # authored per-corner mesh attributes (OBJ vt/vn): per-object
+    # ``(uv [T,3,2] | None, norm [T,3,3] | None)`` tuples, or None.
+    # Displaced meshes drop both (their geometry is regenerated);
+    # deforming meshes keep frame-0 attributes (topology is pinned).
+    mesh_attrs: tuple = ()
 
     def mesh_tris_for_frame(self, frame: int) -> tuple:
         """Per-object triangle arrays at ``frame`` (deforming meshes pick
@@ -247,8 +261,18 @@ class SceneDescription:
                 from pathtracer_tpu.ops.accel import build_mesh_accel
 
                 accel = build_mesh_accel(tris)
+            attrs = (
+                self.mesh_attrs[g]
+                if g < len(self.mesh_attrs or ()) and self.mesh_attrs[g]
+                else (None, None)
+            )
+            uv, norm = attrs
             return MeshInstance(
-                geom_index=g, tri_verts=jnp.asarray(tris, jnp.float32), accel=accel
+                geom_index=g,
+                tri_verts=jnp.asarray(tris, jnp.float32),
+                accel=accel,
+                tri_uv=None if uv is None else jnp.asarray(uv, jnp.float32),
+                tri_norm=None if norm is None else jnp.asarray(norm, jnp.float32),
             )
 
         meshes = tuple(
