@@ -24,6 +24,12 @@ from pathtracer_tpu.scene.parser import load_scene
 from pathtracer_tpu.utils.imageio import save_image
 
 
+# auto-resume retry budget: transient faults (preemption, collective
+# errors) clear on retry; a deterministic failure (NaN physics under
+# --debug) recurs and exhausts this, re-raising the original error
+MAX_FAILURE_RETRIES = 3
+
+
 def _split_kv_args(argv):
     """Accept the reference's `scene=x frame=n` positionals alongside
     normal flags."""
@@ -86,6 +92,15 @@ def build_argparser():
         action="store_true",
         help="debug mode: jax_debug_nans + per-chunk finite checks + "
         "per-bounce alive-lane histogram (megakernel engine)",
+    )
+    p.add_argument(
+        "--resume-on-failure",
+        action="store_true",
+        help="failure detection -> auto-resume: if a render chunk raises "
+        "(XLA runtime fault, collective error, --debug finite check), "
+        "reload the last good checkpoint and retry from it (up to "
+        f"{MAX_FAILURE_RETRIES} times); requires --checkpoint + "
+        "--checkpoint-every for mid-frame resume points",
     )
     return p
 
@@ -169,63 +184,93 @@ def main(argv=None):
                     print(f"  resumed at {start_it} spp from {args.checkpoint}")
 
         t0 = time.perf_counter()
-        last = {"t": t0, "spp": start_it}
 
-        def progress(done_in_run, acc, *, _frame=frame):
-            done = start_it + done_in_run
-            now = time.perf_counter()
-            want_preview = args.preview_every and done % args.preview_every == 0
-            want_ckpt = (
-                args.checkpoint
-                and args.checkpoint_every
-                and done % args.checkpoint_every == 0
-            )
-            if args.sharded and (want_preview or want_ckpt):
-                # device-major sharded accumulator -> pixel order (the
-                # only cross-device data movement outside image readout)
-                acc = gather_image(acc, mesh)
-            if want_preview and is_main:
-                img = np.asarray(tonemap(acc.reshape(h, w, 3), done))
-                save_image(_out_path(args, desc, _frame, suffix=".preview"), img)
-            if want_ckpt and is_main:
-                ckpt.save(args.checkpoint, acc, done, _frame, cfg.seed)
-            rate = (done - last["spp"]) * w * h / max(now - last["t"], 1e-9) / 1e6
-            last["t"], last["spp"] = now, done
-            if is_main:
-                print(
-                    f"  {done}/{start_it + (spp - start_it)} spp  "
-                    f"({rate:.1f} Mpaths/s)"
+        def run_frame(accum, start_it, *, _frame=frame):
+            """One render attempt from (accum, start_it); raises on a
+            failed chunk — the auto-resume loop below catches it."""
+            last = {"t": time.perf_counter(), "spp": start_it}
+
+            def progress(done_in_run, acc):
+                done = start_it + done_in_run
+                now = time.perf_counter()
+                want_preview = args.preview_every and done % args.preview_every == 0
+                want_ckpt = (
+                    args.checkpoint
+                    and args.checkpoint_every
+                    and done % args.checkpoint_every == 0
                 )
+                if args.sharded and (want_preview or want_ckpt):
+                    # device-major sharded accumulator -> pixel order (the
+                    # only cross-device data movement outside image readout)
+                    acc = gather_image(acc, mesh)
+                if want_preview and is_main:
+                    img = np.asarray(tonemap(acc.reshape(h, w, 3), done))
+                    save_image(_out_path(args, desc, _frame, suffix=".preview"), img)
+                if want_ckpt and is_main:
+                    ckpt.save(args.checkpoint, acc, done, _frame, cfg.seed)
+                rate = (done - last["spp"]) * w * h / max(now - last["t"], 1e-9) / 1e6
+                last["t"], last["spp"] = now, done
+                if is_main:
+                    print(f"  {done}/{spp} spp  ({rate:.1f} Mpaths/s)")
 
-        if args.motion_blur:
-            from pathtracer_tpu.render.motion import render_motion
+            if args.motion_blur:
+                from pathtracer_tpu.render.motion import render_motion
 
-            img, accum, stats = render_motion(
-                desc, frame, spp - start_it, cfg,
-                base_key=jax.random.PRNGKey(cfg.seed), progress_fn=progress,
-            )
-        elif args.sharded:
-            img, accum, stats = render_sharded(
-                scene,
-                spp - start_it,
-                cfg,
-                mesh=mesh,
-                base_key=jax.random.PRNGKey(cfg.seed),
-                progress_fn=progress,
-                accum=accum,
-                start_iteration=start_it,
-            )
-        else:
-            img, accum, stats = render(
-                scene,
-                spp - start_it,
-                cfg,
-                base_key=jax.random.PRNGKey(cfg.seed),
-                accum=accum,
-                start_iteration=start_it,
-                progress_fn=progress,
-            )
-        jax.block_until_ready(img)
+                out = render_motion(
+                    desc, _frame, spp - start_it, cfg,
+                    base_key=jax.random.PRNGKey(cfg.seed), progress_fn=progress,
+                )
+            elif args.sharded:
+                out = render_sharded(
+                    scene,
+                    spp - start_it,
+                    cfg,
+                    mesh=mesh,
+                    base_key=jax.random.PRNGKey(cfg.seed),
+                    progress_fn=progress,
+                    accum=accum,
+                    start_iteration=start_it,
+                )
+            else:
+                out = render(
+                    scene,
+                    spp - start_it,
+                    cfg,
+                    base_key=jax.random.PRNGKey(cfg.seed),
+                    accum=accum,
+                    start_iteration=start_it,
+                    progress_fn=progress,
+                )
+            jax.block_until_ready(out[0])
+            return out
+
+        # failure detection -> auto-resume (SURVEY §5: failures surface as
+        # raised XLA/collective errors; the progressive accumulator is the
+        # natural restart point — reference analog: atexit(cleanupCuda) +
+        # cudaDeviceReset, main.cpp:303,159).  The periodic checkpoint
+        # written by progress() IS the last good state; reload and retry.
+        attempts = 0
+        while True:
+            try:
+                img, accum, stats = run_frame(accum, start_it)
+                break
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:
+                attempts += 1
+                if not args.resume_on_failure or attempts > MAX_FAILURE_RETRIES:
+                    raise
+                accum, start_it = None, 0
+                if args.checkpoint:
+                    state = ckpt.load(args.checkpoint)
+                    if state is not None and state["frame"] == frame:
+                        accum, start_it = state["accum"], int(state["spp_done"])
+                if is_main:
+                    print(
+                        f"  render failed ({type(e).__name__}: {e}); "
+                        f"resuming from {start_it} spp "
+                        f"(attempt {attempts}/{MAX_FAILURE_RETRIES})"
+                    )
         dt = time.perf_counter() - t0
         if is_main:
             out = _out_path(args, desc, frame)

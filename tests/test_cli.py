@@ -107,3 +107,88 @@ def test_cli_checkpoint_crosses_layouts(small_scene, tmp_path):
 def test_cli_sharded_rejects_interactive(small_scene):
     with pytest.raises(SystemExit):
         cli.main([f"scene={small_scene}", "--sharded", "--interactive"])
+
+
+def test_cli_resume_on_failure(small_scene, tmp_path, monkeypatch):
+    """Failure detection -> auto-resume (SURVEY §5): a chunk that raises
+    mid-render is retried from the last good checkpoint; the final image
+    equals an uninterrupted run's exactly (deterministic fold_in keys)."""
+    import importlib
+
+    integ = importlib.import_module("pathtracer_tpu.render.integrator")
+    from pathtracer_tpu.utils import checkpoint as ckpt
+
+    ck = str(tmp_path / "state.npz")
+    real_render = integ.render
+    calls = {"n": 0}
+
+    def flaky_render(scene, spp, cfg, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # render the first 8 spp for real (progress checkpoints at 8),
+            # then die — a transient fault after a good checkpoint
+            _, acc, _ = real_render(scene, 8, cfg, **kw)
+            kw["progress_fn"](8, acc)
+            raise RuntimeError("injected transient fault")
+        return real_render(scene, spp, cfg, **kw)
+
+    monkeypatch.setattr(integ, "render", flaky_render)
+    rc = cli.main(
+        [f"scene={small_scene}", "--spp", "16", "--depth", "5",
+         "--out", str(tmp_path / "flaky.png"),
+         "--checkpoint", ck, "--checkpoint-every", "8",
+         "--resume-on-failure"]
+    )
+    assert rc == 0
+    assert calls["n"] == 2  # one failure, one clean resume
+    # the retry resumed FROM THE CHECKPOINT, not from scratch
+    state = ckpt.load(ck)
+    assert state is not None and int(state["spp_done"]) >= 8
+    monkeypatch.setattr(integ, "render", real_render)
+    rc = cli.main(
+        [f"scene={small_scene}", "--spp", "16", "--depth", "5",
+         "--out", str(tmp_path / "clean.png")]
+    )
+    assert rc == 0
+    a = load_png(str(tmp_path / "flaky.0.png"))
+    b = load_png(str(tmp_path / "clean.0.png"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cli_failure_without_flag_raises(small_scene, tmp_path, monkeypatch):
+    """Without --resume-on-failure the error propagates (no silent retry)."""
+    import importlib
+
+    integ = importlib.import_module("pathtracer_tpu.render.integrator")
+
+    def dead_render(*a, **kw):
+        raise RuntimeError("injected fault")
+
+    monkeypatch.setattr(integ, "render", dead_render)
+    with pytest.raises(RuntimeError, match="injected fault"):
+        cli.main(
+            [f"scene={small_scene}", "--spp", "8", "--depth", "5",
+             "--out", str(tmp_path / "x.png")]
+        )
+
+
+def test_cli_deterministic_failure_exhausts_retries(small_scene, tmp_path, monkeypatch):
+    """A failure that recurs every attempt (e.g. NaN physics under
+    --debug) re-raises after MAX_FAILURE_RETRIES instead of looping."""
+    import importlib
+
+    integ = importlib.import_module("pathtracer_tpu.render.integrator")
+
+    calls = {"n": 0}
+
+    def dead_render(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("deterministic NaN")
+
+    monkeypatch.setattr(integ, "render", dead_render)
+    with pytest.raises(RuntimeError, match="deterministic NaN"):
+        cli.main(
+            [f"scene={small_scene}", "--spp", "8", "--depth", "5",
+             "--out", str(tmp_path / "x.png"), "--resume-on-failure"]
+        )
+    assert calls["n"] == 1 + cli.MAX_FAILURE_RETRIES
