@@ -648,7 +648,14 @@ def intersect_scene_lean(
         d_obj3 = jnp.stack([odx, ody, odz], axis=-1)
         for m in meshes:
             gi = m.geom_index
-            verts = mesh_scan_verts(m)[sg(mesh_tri_idx[gi])]  # [N, 3, 3] gather
+            # winner index -> FILE order, then gather from the
+            # DIFFERENTIABLE tri_verts (not the accel's detached Morton
+            # copy): vertex gradients flow through this gather even when
+            # the winner search traversed the LBVH
+            idx = sg(mesh_tri_idx[gi])
+            if m.accel is not None:
+                idx = m.accel.scan_to_file[idx]
+            verts = m.tri_verts[idx]  # [N, 3, 3] gather
             mt_re, mn = mt_single(o_obj3, d_obj3, verts, t_min)
             sel = geom_id == gi
             t_re = jnp.where(sel, mt_re, t_re)

@@ -91,8 +91,13 @@ def render_motion(
         )
     if base_key is None:
         base_key = jax.random.PRNGKey(cfg.seed)
-    p0, static = params_from_description(desc, frame)
-    p1, _ = params_from_description(desc, frame + 1)
+    # deforming meshes lerp VERTICES across the shutter — a frame-0 LBVH's
+    # chunk AABBs would go stale mid-shutter and miss geometry, so those
+    # scenes keep the dense sweep; rigid scenes (vertices identical every
+    # frame, only TRS lerps) keep the accel
+    deforming = any(x is not None for x in (desc.mesh_tris_frames or ()))
+    p0, static = params_from_description(desc, frame, accel=not deforming)
+    p1, _ = params_from_description(desc, frame + 1, accel=not deforming)
     # scene-driven feature resolution, same as integrator.render — without
     # it a BRDF cooktorrance scene rendered through the motion path would
     # silently shade as mirror/Phong (ADVICE r2, medium)
