@@ -24,7 +24,7 @@ NAIVE_MEGAKERNEL_R1_MRAYS = 6.4  # round-1 masked megakernel, same chip
 # non-blocking regression floors (~55% of the current measured numbers —
 # a genuine regression trips the warning, chip-to-chip noise doesn't)
 FWD_MRAYS_FLOOR = 300.0
-FWD_BWD_MRAYS_FLOOR = 20.0  # round-2 measured 35.6 on v5e
+FWD_BWD_MRAYS_FLOOR = 45.0  # round-3 measured 78.8 on v5e (per-bounce remat)
 
 
 def main():

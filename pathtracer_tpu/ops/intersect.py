@@ -615,6 +615,18 @@ def intersect_scene_lean(
         t_win = jnp.where(better, mt, t_win)
         geom_id = jnp.where(better, gi, geom_id)
         mesh_tri_idx[gi] = mi
+    # tag the (detached) winner-search outputs as the per-bounce remat
+    # policy's saved set (render/megakernel.py): the backward recomputes
+    # the cheap winner-only shading from the scan carry but never re-runs
+    # the O(N*G) sweep / Pallas kernel / O(N*T) mesh scan behind these
+    from jax.ad_checkpoint import checkpoint_name
+
+    t_win = checkpoint_name(t_win, "lean_winner")
+    geom_id = checkpoint_name(geom_id, "lean_winner")
+    mesh_tri_idx = {
+        gi: checkpoint_name(mi, "lean_winner")
+        for gi, mi in mesh_tri_idx.items()
+    }
     hit = t_win < BIG
 
     # ---- 2. differentiable recompute for the winning geom only —

@@ -349,6 +349,11 @@ def shade_bounce(
                 )
             else:
                 occ_t = occlusion_t(shadow, geoms_sg, meshes_sg)
+            # saved by the per-bounce remat policy (megakernel.py) so the
+            # backward never re-runs the occlusion sweep
+            from jax.ad_checkpoint import checkpoint_name
+
+            occ_t = checkpoint_name(occ_t, "lean_winner")
             visible = occ_t >= sg(dist) - 4.0 * RAY_BIAS
         elif use_pallas:
             shadow = Rays(origin=x, direction=wi)

@@ -41,13 +41,48 @@ def trace_paths(
     via the 2x factor when cfg.nee)."""
     n = rays.count
 
+    if cfg.grad_lean:
+        # Per-bounce rematerialization (the round-3 fwd+bwd speed work).
+        # Without it, jax.vjp of the depth scan stacks EVERY transpose
+        # residual per bounce into [depth, N]-shaped HBM arrays and
+        # streams them back in the backward scan — measured ~0.58 s of
+        # the 0.77 s step at 800x800 d8, dominated by residual copies
+        # (some in 128x-padded [N,1]{T(1,128)} layouts).  With it, only
+        # the scan carries plus the named winner/occlusion outputs are
+        # saved; the backward re-derives the cheap elementwise shading
+        # from the carry, fused in-register.  The detached Pallas winner
+        # search and occlusion sweeps are tagged 'lean_winner' so they
+        # are NOT re-run (their outputs are the saved residuals).
+        from jax.ad_checkpoint import checkpoint as _remat
+        from jax.ad_checkpoint import checkpoint_policies as _policies
+
+        def _shade(scene, rays, throughput, sample_idx, depth, prev_spec, base_key, medium):
+            return shade_bounce(
+                scene, rays, throughput, sample_idx, depth, prev_spec,
+                base_key, cfg, medium_sigma=medium,
+            )
+
+        _shade = _remat(
+            _shade, policy=_policies.save_only_these_names("lean_winner")
+        )
+
+        def shade(scene, rays, throughput, sample_idx, depth, prev_spec, base_key, medium):
+            return _shade(
+                scene, rays, throughput, sample_idx, depth, prev_spec, base_key, medium
+            )
+    else:
+        def shade(scene, rays, throughput, sample_idx, depth, prev_spec, base_key, medium):
+            return shade_bounce(
+                scene, rays, throughput, sample_idx, depth, prev_spec,
+                base_key, cfg, medium_sigma=medium,
+            )
+
     def bounce(carry, depth):
         rays, throughput, alive, prev_spec, medium, radiance, nrays = carry
         n_alive = jnp.sum(alive.astype(jnp.float32))
         nrays = nrays + n_alive * (2.0 if cfg.nee else 1.0)  # +shadow ray
-        res = shade_bounce(
-            scene, rays, throughput, sample_idx, depth, prev_spec, base_key, cfg,
-            medium_sigma=medium,
+        res = shade(
+            scene, rays, throughput, sample_idx, depth, prev_spec, base_key, medium
         )
         radiance = radiance + jnp.where(alive[:, None], res.contrib, 0.0)
         new_alive = alive & (~res.terminate)
