@@ -292,6 +292,20 @@ def render_linear_rays(
         def sample(scene, pix, it, key):
             return render_sample(scene, pix, it, key, cfg_bwd, n_global_pixels=n_glob)
 
+    # ---- measured and REJECTED: spp batching.  Both RNG paths are pure
+    # functions of the per-ray global sample index (common.py:37-59), so
+    # tracing several progressive iterations as one wide wavefront (tile
+    # the pixel list, vary `iteration` per ray) is bit-exact per sample
+    # and cuts HLO op count by the group factor.  Tried 2026-08-20 on
+    # v5e against the per-op-overhead hypothesis (profile: ~45k leaf HLO
+    # ops/step, no single op >4%): 800x800 gspp=4 regressed 329->463 ms
+    # and even the small-image niche 256x256 spp=16 regressed 117->134
+    # (group 4) ->160 ms (group 16), identical loss values.  The lean
+    # backward is HBM-bandwidth-bound, and 4x-wider fusions made XLA's
+    # layouts/pipelining worse, not better — keep one iteration per scan
+    # step.  (Decomposition, same config: 57 ms fused primal + ~123 ms
+    # per-bounce remat recompute + ~150 ms transpose; bounce-scan
+    # unroll=8 bought 12% for 128 s of compile — also rejected.)
     def one_iter(carry, it):
         acc, nrays = carry
         radiance, n = sample(scene, pixel_index, it, base_key)

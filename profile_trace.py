@@ -46,7 +46,54 @@ def main():
         jax.block_until_ready(out[0][0])
 
     pb = glob.glob("/tmp/jaxtrace/**/*.xplane.pb", recursive=True)
-    print(pb)
+    if not pb:
+        print("no xplane.pb produced (CPU backend?)")
+        return
+    summarize(pb[0])
+
+
+def summarize(pb_path, top=30):
+    """Aggregate leaf XLA-op device time by (fusion-name-prefix, opcode).
+
+    The xplane schema ships with the baked-in tensorflow wheel; while/call
+    wrapper events (which span their children) are skipped so the totals
+    are leaf time, comparable to the measured step wall time."""
+    import collections
+    import re
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(pb_path, "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        print("no TPU plane in trace")
+        return
+    plane = planes[0]
+    emeta = {m.id: m.name for m in plane.event_metadata.values()}
+    opre = re.compile(r"^%?([\w.\-]+) = \S+ (\w+)\(")
+    agg, cnt = collections.Counter(), collections.Counter()
+    total = 0.0
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            name = emeta.get(ev.metadata_id, "?")
+            m = opre.match(name)
+            if m is None:
+                continue  # tuple-typed wrappers (while/conditional bodies)
+            opname, opcode = m.group(1), m.group(2)
+            if opcode in ("while", "call", "conditional"):
+                continue
+            dur = ev.duration_ps / 1e9  # ms
+            key = re.sub(r"[.\d]+$", "", opname) + ":" + opcode
+            agg[key] += dur
+            cnt[key] += 1
+            total += dur
+    print(f"leaf device time: {total:.1f} ms")
+    for k, ms in agg.most_common(top):
+        print(f"{ms:9.2f} ms  {100 * ms / total:5.1f}%  n={cnt[k]:5d}  {k}")
 
 
 if __name__ == "__main__":
