@@ -57,6 +57,7 @@ class MaterialLookup:
     # 2 = Ward anisotropic
     roughness: jax.Array  # [N] GGX roughness (alpha = r^2) / Ward alpha_x
     roughness_y: jax.Array  # [N] Ward alpha_y (0 => isotropic, = alpha_x)
+    phase_g: jax.Array  # [N] Henyey-Greenstein g of the SCATTER medium
 
 
 def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLookup:
@@ -85,6 +86,7 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
             materials.brdf_model[:, None],  # 24
             materials.roughness[:, None],  # 25
             materials.roughness_y[:, None],  # 26
+            materials.phase_g[:, None],  # 27
         ],
         axis=-1,
     )
@@ -112,6 +114,7 @@ def gather_materials(materials: Materials, material_id: jax.Array) -> MaterialLo
         brdf_model=rows[:, 24],
         roughness=rows[:, 25],
         roughness_y=rows[:, 26],
+        phase_g=rows[:, 27],
     )
 
 
@@ -179,6 +182,35 @@ def uniform_sphere(xi1: jax.Array, xi2: jax.Array) -> jax.Array:
     r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0))
     phi = 2.0 * jnp.pi * xi2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def henyey_greenstein(
+    direction: jax.Array, g: jax.Array, xi1: jax.Array, xi2: jax.Array
+) -> jax.Array:
+    """Sample a scattered direction from the Henyey-Greenstein phase
+    function about the propagation ``direction`` (the physically-based
+    subsurface-scattering elective, reference README.md:66; the
+    reference's isotropic in-medium stub is interactions.h:30-39 + 89-94).
+
+    Exact inversion: ``cos(theta) = (1 + g^2 - ((1-g^2)/(1-g+2g*xi))^2)
+    / (2g)``, degenerating to the uniform sphere ``1 - 2*xi`` as g -> 0
+    (blended below |g| < 1e-3 where the division loses precision).
+    Sampling matches the phase function exactly, so the estimator weight
+    is 1 — no throughput change."""
+    g = jnp.clip(g, -0.999, 0.999)
+    safe_g = jnp.where(jnp.abs(g) < 1e-3, 1.0, g)  # divisor placeholder
+    frac = (1.0 - g * g) / (1.0 - g + 2.0 * g * xi1)
+    cos_hg = (1.0 + g * g - frac * frac) / (2.0 * safe_g)
+    cos_t = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * xi1, cos_hg)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * xi2
+    t1, t2 = _kutz_frame(direction)
+    return (
+        cos_t[..., None] * direction
+        + (sin_t * jnp.cos(phi))[..., None] * t1
+        + (sin_t * jnp.sin(phi))[..., None] * t2
+    )
 
 
 def reflect(incident: jax.Array, normal: jax.Array) -> jax.Array:

@@ -67,7 +67,7 @@ class BounceResult:
     terminate: jax.Array  # [N] bool: path ends here (miss/light hit)
     was_specular: jax.Array  # [N] bool: this bounce's event was specular
     rr_uniform: jax.Array  # [N] uniform reserved for russian roulette
-    next_medium: jax.Array  # [N, 4] (sigma_a rgb, sigma_s) of medium entered
+    next_medium: jax.Array  # [N, 5] (sigma_a rgb, sigma_s, HG g) of medium entered
 
 
 def shade_bounce(
@@ -84,13 +84,14 @@ def shade_bounce(
     """One physics step for a wavefront of rays (mask-free: callers gate
     with their own alive masks).
 
-    ``medium_sigma`` [N, 4] is ``(sigma_a rgb, sigma_s)`` of the medium
+    ``medium_sigma`` [N, 5] is ``(sigma_a rgb, sigma_s, HG g)`` of the medium
     each ray currently travels through (zeros = vacuum) — the realized
     version of the reference's absorption-and-scattering stubs
     (interactions.h:11-39; ABSCOEFF / SCATTER / RSCTCOEFF DSL fields).
     Volumetric scattering: an exponential free path ~ sigma_s is sampled
     per segment; if it lands before the surface, the lane undergoes an
-    isotropic in-medium scatter event instead of a surface interaction."""
+    in-medium scatter event instead of a surface interaction — isotropic,
+    or Henyey-Greenstein when the material sets PHASE g (feature "hg")."""
     use_pallas = cfg.pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -104,6 +105,7 @@ def shade_bounce(
             use_pallas
             and scene.textures is None
             and "microfacet" not in cfg.features
+            and "hg" not in cfg.features
             and cfg.fast_rng
             and not mesh_attrs
         )
@@ -116,6 +118,8 @@ def shade_bounce(
                 reasons.append("scene has image textures")
             if "microfacet" in cfg.features:
                 reasons.append("Cook-Torrance materials enabled")
+            if "hg" in cfg.features:
+                reasons.append("anisotropic (PHASE) scattering enabled")
             if not cfg.fast_rng:
                 reasons.append("fast_rng=False")
             if mesh_attrs:
@@ -139,6 +143,8 @@ def shade_bounce(
             unsupported.append("scene has image textures")
         if "microfacet" in cfg.features:
             unsupported.append("Cook-Torrance materials enabled")
+        if "hg" in cfg.features:
+            unsupported.append("anisotropic (PHASE) scattering enabled")
         if not cfg.fast_rng:
             unsupported.append("fast_rng=False")
         if mesh_attrs:
@@ -160,7 +166,7 @@ def shade_bounce(
         from pathtracer_tpu.ops.bounce_pallas import bounce_fused
 
         if medium_sigma is None:
-            medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
+            medium_sigma = jnp.zeros((throughput.shape[0], 5), throughput.dtype)
         return bounce_fused(
             scene, rays.origin, rays.direction, throughput, sample_idx,
             depth, prev_specular, medium_sigma, base_key, cfg,
@@ -262,9 +268,10 @@ def shade_bounce(
         hit = _dc.replace(hit, normal=jnp.where(bump_on[:, None], n_bumped, n0))
 
     if medium_sigma is None:
-        medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
+        medium_sigma = jnp.zeros((throughput.shape[0], 5), throughput.dtype)
     sigma_a = medium_sigma[:, 0:3]
     sigma_s = medium_sigma[:, 3]
+    medium_g = medium_sigma[:, 4]  # Henyey-Greenstein g of this medium
 
     u = bounce_uniforms(base_key, sample_idx, depth, cfg.fast_rng)
 
@@ -392,10 +399,16 @@ def shade_bounce(
 
     # ---- in-medium scatter event: isotropic phase function at the
     # sampled interior point; stays in the same medium, no NEE/emission
-    from pathtracer_tpu.ops.bsdf import uniform_sphere
+    from pathtracer_tpu.ops.bsdf import henyey_greenstein, uniform_sphere
 
     vol_pos = rays.origin + free_path[:, None] * rays.direction
-    vol_dir = uniform_sphere(u[:, 9], u[:, 10])
+    if "hg" in cfg.features:
+        # anisotropic Henyey-Greenstein phase about the propagation
+        # direction (PHASE g in the DSL); scenes with no PHASE material
+        # keep the bit-exact isotropic uniform-sphere branch below
+        vol_dir = henyey_greenstein(rays.direction, medium_g, u[:, 9], u[:, 10])
+    else:
+        vol_dir = uniform_sphere(u[:, 9], u[:, 10])
 
     surf_medium = jnp.concatenate(
         [
@@ -412,6 +425,11 @@ def shade_bounce(
                     0.0,
                 ),
                 sigma_s,
+            )[:, None],
+            jnp.where(
+                scatter.transmitted,
+                jnp.where(scatter.entering, mat.phase_g, 0.0),
+                medium_g,
             )[:, None],
         ],
         axis=-1,

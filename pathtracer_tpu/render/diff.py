@@ -370,7 +370,9 @@ def l2_loss(
 # every optional physics block shade_bounce knows how to materialize —
 # the safe superset (enabling a feature no material uses is an exact
 # no-op on the image; DROPPING a used one is not)
-ALL_FEATURES = ("texture", "bump", "volumetric", "glossy", "microfacet", "ward")
+ALL_FEATURES = (
+    "texture", "bump", "volumetric", "glossy", "microfacet", "ward", "hg"
+)
 
 
 def features_for_materials(materials) -> tuple:
@@ -403,6 +405,11 @@ def features_for_materials(materials) -> tuple:
             feats.append("microfacet")
         if (np.asarray(materials.brdf_model) > 1.5).any():
             feats.append("ward")
+        if (
+            (np.asarray(materials.has_scatter) > 0)
+            & (np.asarray(materials.phase_g) != 0)
+        ).any():
+            feats.append("hg")
         return tuple(feats)
     except jax.errors.TracerArrayConversionError:
         return ALL_FEATURES

@@ -118,7 +118,7 @@ def trace_paths(
         jnp.ones((n, 3), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
-        jnp.zeros((n, 4), jnp.float32),  # medium (sigma_a rgb, sigma_s)
+        jnp.zeros((n, 5), jnp.float32),  # medium (sigma_a rgb, sigma_s, HG g)
         jnp.zeros((n, 3), jnp.float32),
         jnp.float32(0.0),
     )

@@ -126,6 +126,19 @@ def parse_scene_text(
                     advance()
                     mat["bump_scale"] = float(nxt[1])
                     mat["bump_amp"] = float(nxt[2])
+                elif k == "PHASE":
+                    # PHASE <g>: Henyey-Greenstein anisotropy of the
+                    # SCATTER medium, g in (-1, 1) (0 = isotropic; the
+                    # subsurface-scattering elective, reference
+                    # README.md:66 "physically based subsurface
+                    # scattering and transmission")
+                    advance()
+                    g = float(nxt[1])
+                    if not -1.0 < g < 1.0:
+                        raise SceneParseError(
+                            f"{name}: PHASE g must be in (-1, 1), got {g}"
+                        )
+                    mat["phase_g"] = g
                 elif k == "BRDF":
                     # BRDF cooktorrance <roughness> | BRDF ward <ax> [<ay>]
                     # (elective models named by reference README.md:54)
@@ -199,6 +212,7 @@ def parse_scene_text(
         "brdf_model": 0.0,
         "roughness": 0.0,
         "roughness_y": 0.0,
+        "phase_g": 0.0,
     }
     all_fields = [f for f, _ in _MATERIAL_KEYS.values()] + list(_EXT_DEFAULTS)
     mat_soa = {
@@ -478,6 +492,7 @@ def load_scene(path: str) -> SceneDescription:
         "TEXTURE" in text
         or "BUMP" in text
         or "BRDF" in text
+        or "PHASE" in text
         or "DISPLACE" in text
         or ".obj" in text.lower()
     )

@@ -107,6 +107,7 @@ class Materials:
     brdf_model: jax.Array  # [M] 0 = Phong, 1 = Cook-Torrance GGX, 2 = Ward
     roughness: jax.Array  # [M] GGX roughness (alpha = r^2) / Ward alpha_x
     roughness_y: jax.Array  # [M] Ward alpha_y (0 => isotropic)
+    phase_g: jax.Array  # [M] Henyey-Greenstein g for SCATTER media (0 = isotropic)
 
     @property
     def count(self) -> int:
@@ -332,4 +333,5 @@ def make_materials(rows: list) -> Materials:
         brdf_model=col("brdf_model"),
         roughness=col("roughness"),
         roughness_y=col("roughness_y"),
+        phase_g=col("phase_g"),
     )

@@ -134,6 +134,7 @@ def parse_scene_text(text: str, name: str = "<native>"):
             "brdf_model": np.zeros(n_m, np.float32),
             "roughness": np.zeros(n_m, np.float32),
             "roughness_y": np.zeros(n_m, np.float32),
+            "phase_g": np.zeros(n_m, np.float32),
             "color": mats[:, 0:3].copy(),
             "specular_exponent": mats[:, 3].copy(),
             "specular_color": mats[:, 4:7].copy(),

@@ -129,7 +129,7 @@ def test_fused_bounce_mesh_merge_matches_split_path():
     si = jax.random.randint(jax.random.PRNGKey(23), (n,), 0, 10_000_000, jnp.int32)
     dep = jax.random.randint(jax.random.PRNGKey(24), (n,), 0, 8, jnp.int32)
     ps = jax.random.bernoulli(jax.random.PRNGKey(25), 0.3, (n,))
-    med = jnp.zeros((n, 4), jnp.float32)
+    med = jnp.zeros((n, 5), jnp.float32)
 
     for nee in (True, False):
         ref = shade_bounce(
