@@ -713,11 +713,12 @@ def bounce_fused(
         + _to_planes(depth_arr, npad)
         + _to_planes(prev_specular.astype(jnp.float32), npad)
         # the kernel models the isotropic phase only; callers gate fused
-        # off for scenes with a PHASE (HG) material, so the g channel of
-        # the [N, 5] medium state is identically zero here — slice it off
-        # going in, re-append zeros coming out
+        # off for scenes with a PHASE (HG) material, so when handed the
+        # wide [N, 5] medium state its g channel is identically zero —
+        # slice it off going in, re-append zeros coming out
         + _to_planes(medium_sigma[:, :4], npad)
     )
+    wide_medium = medium_sigma.shape[1] > 4
     if mesh_merge:
         from pathtracer_tpu.ops.intersect import mesh_only_hit
 
@@ -793,7 +794,8 @@ def bounce_fused(
         was_specular=unp(13) > 0.5,
         rr_uniform=unp(14),
         next_medium=jnp.concatenate(
-            [unp3(15), unp(18)[:, None], jnp.zeros((n, 1), jnp.float32)],
+            [unp3(15), unp(18)[:, None]]
+            + ([jnp.zeros((n, 1), jnp.float32)] if wide_medium else []),
             axis=-1,
         ),
     )

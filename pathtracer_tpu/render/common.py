@@ -67,7 +67,7 @@ class BounceResult:
     terminate: jax.Array  # [N] bool: path ends here (miss/light hit)
     was_specular: jax.Array  # [N] bool: this bounce's event was specular
     rr_uniform: jax.Array  # [N] uniform reserved for russian roulette
-    next_medium: jax.Array  # [N, 5] (sigma_a rgb, sigma_s, HG g) of medium entered
+    next_medium: jax.Array  # [N, 4|5] (sigma_a rgb, sigma_s[, HG g]) of medium entered
 
 
 def shade_bounce(
@@ -84,7 +84,7 @@ def shade_bounce(
     """One physics step for a wavefront of rays (mask-free: callers gate
     with their own alive masks).
 
-    ``medium_sigma`` [N, 5] is ``(sigma_a rgb, sigma_s, HG g)`` of the medium
+    ``medium_sigma`` [N, 4|5] is ``(sigma_a rgb, sigma_s[, HG g])`` of the medium
     each ray currently travels through (zeros = vacuum) — the realized
     version of the reference's absorption-and-scattering stubs
     (interactions.h:11-39; ABSCOEFF / SCATTER / RSCTCOEFF DSL fields).
@@ -166,7 +166,7 @@ def shade_bounce(
         from pathtracer_tpu.ops.bounce_pallas import bounce_fused
 
         if medium_sigma is None:
-            medium_sigma = jnp.zeros((throughput.shape[0], 5), throughput.dtype)
+            medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
         return bounce_fused(
             scene, rays.origin, rays.direction, throughput, sample_idx,
             depth, prev_specular, medium_sigma, base_key, cfg,
@@ -267,11 +267,18 @@ def shade_bounce(
         n_bumped = n_bumped / jnp.linalg.norm(n_bumped, axis=-1, keepdims=True).clip(1e-12)
         hit = _dc.replace(hit, normal=jnp.where(bump_on[:, None], n_bumped, n0))
 
+    # medium state is [N, 4] (sigma_a rgb, sigma_s) — or [N, 5] with the
+    # Henyey-Greenstein g appended when the "hg" feature is active.  The
+    # width is feature-dependent because the g column rides every engine
+    # carry / compaction permute: paying it on PHASE-free scenes cost a
+    # measured ~7% of forward throughput.
     if medium_sigma is None:
-        medium_sigma = jnp.zeros((throughput.shape[0], 5), throughput.dtype)
+        width = 5 if "hg" in cfg.features else 4
+        medium_sigma = jnp.zeros((throughput.shape[0], width), throughput.dtype)
     sigma_a = medium_sigma[:, 0:3]
     sigma_s = medium_sigma[:, 3]
-    medium_g = medium_sigma[:, 4]  # Henyey-Greenstein g of this medium
+    wide_medium = medium_sigma.shape[1] > 4
+    medium_g = medium_sigma[:, 4] if wide_medium else jnp.zeros_like(sigma_s)
 
     u = bounce_uniforms(base_key, sample_idx, depth, cfg.fast_rng)
 
@@ -426,12 +433,18 @@ def shade_bounce(
                 ),
                 sigma_s,
             )[:, None],
-            jnp.where(
-                scatter.transmitted,
-                jnp.where(scatter.entering, mat.phase_g, 0.0),
-                medium_g,
-            )[:, None],
-        ],
+        ]
+        + (
+            [
+                jnp.where(
+                    scatter.transmitted,
+                    jnp.where(scatter.entering, mat.phase_g, 0.0),
+                    medium_g,
+                )[:, None]
+            ]
+            if wide_medium
+            else []
+        ),
         axis=-1,
     )
 

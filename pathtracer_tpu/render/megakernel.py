@@ -118,7 +118,9 @@ def trace_paths(
         jnp.ones((n, 3), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
-        jnp.zeros((n, 5), jnp.float32),  # medium (sigma_a rgb, sigma_s, HG g)
+        # medium (sigma_a rgb, sigma_s[, HG g]) — g column only when the
+        # "hg" feature is on (it rides every carry; see common.py)
+        jnp.zeros((n, 5 if "hg" in cfg.features else 4), jnp.float32),
         jnp.zeros((n, 3), jnp.float32),
         jnp.float32(0.0),
     )

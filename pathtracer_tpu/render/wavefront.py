@@ -95,7 +95,7 @@ def render_samples_wavefront(
         sample=sample0,
         depth=jnp.zeros((capacity,), jnp.int32),
         prev_spec=jnp.zeros((capacity,), bool),
-        medium=jnp.zeros((capacity, 5), jnp.float32),
+        medium=jnp.zeros((capacity, 5 if "hg" in cfg.features else 4), jnp.float32),
         alive=first_q < end_queue,
         next_queue=start_queue + capacity,
         accum_r=accum[:, 0],
@@ -237,7 +237,7 @@ def render_samples_pinned(
         it=it0,
         depth=jnp.zeros((n_local,), jnp.int32),
         prev_spec=jnp.zeros((n_local,), bool),
-        medium=jnp.zeros((n_local, 5), jnp.float32),
+        medium=jnp.zeros((n_local, 5 if "hg" in cfg.features else 4), jnp.float32),
         alive=jnp.full((n_local,), n_iters > 0),
         rays=jnp.float32(0.0),
     )
