@@ -411,9 +411,16 @@ def shade_bounce(
     vol_pos = rays.origin + free_path[:, None] * rays.direction
     if "hg" in cfg.features:
         # anisotropic Henyey-Greenstein phase about the propagation
-        # direction (PHASE g in the DSL); scenes with no PHASE material
-        # keep the bit-exact isotropic uniform-sphere branch below
-        vol_dir = henyey_greenstein(rays.direction, medium_g, u[:, 9], u[:, 10])
+        # direction (PHASE g in the DSL).  Selected PER LANE against the
+        # world-frame uniform-sphere sample so g == 0 lanes stay
+        # bit-exact with the "hg"-off path: HG at g = 0 maps the same
+        # uniforms through a tangent frame about rays.direction — the
+        # same distribution but different realized samples — which would
+        # make enabling the feature a non-no-op on volumetric scenes
+        # (ADVICE r3; the ALL_FEATURES no-op invariant, diff.py).
+        hg_dir = henyey_greenstein(rays.direction, medium_g, u[:, 9], u[:, 10])
+        iso_dir = uniform_sphere(u[:, 9], u[:, 10])
+        vol_dir = jnp.where((medium_g != 0.0)[:, None], hg_dir, iso_dir)
     else:
         vol_dir = uniform_sphere(u[:, 9], u[:, 10])
 

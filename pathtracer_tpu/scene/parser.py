@@ -161,6 +161,20 @@ def parse_scene_text(
                         )
                 else:
                     break
+            if mat.get("phase_g", 0.0) != 0.0 and mat.get("has_scatter", 0.0) <= 0.0:
+                # PHASE without SCATTER 1 is silently inert downstream
+                # (features_for_materials requires has_scatter > 0 for
+                # "hg"), so a forgotten SCATTER would render isotropic
+                # with no diagnostic (ADVICE r3)
+                import warnings
+
+                warnings.warn(
+                    f"{name}: MATERIAL {mat_id} sets PHASE "
+                    f"{mat['phase_g']} but SCATTER is 0 — the phase "
+                    "function only applies inside a scattering medium; "
+                    "set SCATTER 1 for it to take effect",
+                    stacklevel=2,
+                )
             materials.append(mat)
         elif head == "CAMERA":
             camera = _parse_camera(advance, peek, name)

@@ -557,6 +557,39 @@ def test_phase_parsing_and_feature_resolution():
         parse_scene_text(HG_SCENE.format(g=1.5))
 
 
+def test_hg_feature_is_exact_noop_at_zero_g():
+    """Enabling the 'hg' feature on a volumetric scene whose materials all
+    have g = 0 is bit-exact with the feature off: the HG direction is
+    selected per lane against the uniform-sphere sample (ADVICE r3 — the
+    ALL_FEATURES no-op invariant)."""
+    import dataclasses
+
+    from pathtracer_tpu.render.integrator import render as _render
+
+    desc = parse_scene_text(HG_SCENE.format(g=0.0))
+    scene = desc.scene_for_frame(0)
+    base = RenderConfig(
+        max_depth=6,
+        auto_features=False,
+        features=("volumetric",),
+    )
+    with_hg = dataclasses.replace(base, features=("volumetric", "hg"))
+    key = jax.random.PRNGKey(5)
+    _, a0, _ = _render(scene, 8, cfg=base, base_key=key)
+    _, a1, _ = _render(scene, 8, cfg=with_hg, base_key=key)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_phase_without_scatter_warns():
+    """PHASE on a non-scattering material is inert — the parser says so
+    instead of rendering silently isotropic (ADVICE r3)."""
+    import pytest
+
+    txt = HG_SCENE.format(g=0.7).replace("SCATTER 1", "SCATTER 0")
+    with pytest.warns(UserWarning, match="PHASE"):
+        parse_scene_text(txt)
+
+
 def test_hg_forward_scattering_transmits_more():
     """Physics: a backlit dense-scattering sphere transmits more light
     toward the camera with forward scattering (g=+0.85) than backward
