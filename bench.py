@@ -1,73 +1,138 @@
-"""Headline benchmark: Mrays/s/chip on the 800x800 Cornell workload.
+"""Headline benchmark: Mrays/s/chip across the scene-class matrix.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline", ...}``.
+Prints one JSON line per scene class, then ONE final headline line
+``{"metric", "value", "unit", "vs_baseline", ...}`` (the line the driver
+records) whose ``extra`` carries the full matrix + the fwd+bwd number.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 the speedup over this framework's own round-1 naive masked-megakernel
 measurement on the same chip/workload (6.4 Mrays/s, recorded 2026-08-17),
 i.e. "how much faster than a straightforward port-equivalent".
 
-Workload: cornell.txt at 800x800, depth 8, NEE on, wavefront engine —
-the BASELINE.md fwd+bwd config is reported in ``extra``.
+Scene classes (VERDICT r3 #4 — quantify every path, not just the fused
+Cornell configuration):
+
+* ``cornell`` — analytic Cornell box, fully-fused bounce kernel
+  (800x800, the BASELINE.md headline config)
+* ``textured_image`` — PNG image textures (atlas sampling)
+* ``smooth_mesh`` — OBJ triangle mesh with authored vn smooth normals
+* ``ward`` — Ward anisotropic + Cook-Torrance-class BRDF lobes
+* ``sss`` — dense scattering media with Henyey-Greenstein phase
+
+Each row carries a non-blocking regression floor (~55% of the measured
+number when it was set — a genuine regression trips the warning,
+chip-to-chip noise doesn't).
 """
 
 import dataclasses
 import json
 import sys
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
 
 NAIVE_MEGAKERNEL_R1_MRAYS = 6.4  # round-1 masked megakernel, same chip
 
-# non-blocking regression floors (~55% of the current measured numbers —
-# a genuine regression trips the warning, chip-to-chip noise doesn't)
+# non-blocking regression floors, ~55% of the measured numbers
 FWD_MRAYS_FLOOR = 300.0
-FWD_BWD_MRAYS_FLOOR = 45.0  # round-3 measured 78.8 on v5e (per-bounce remat)
+FWD_BWD_MRAYS_FLOOR = 100.0  # VERDICT r3 #1: raised from 45
+
+# (name, scene file, resolution, spp, depth, Mrays/s floor)
+# floors ~55% of measured; first measured r4 start on v5e:
+# cornell 577.4 / textured_image 28.2 / smooth_mesh 7.4 / ward 109.0 /
+# sss 81.1 — the quantified split-path cliff (VERDICT r3 weak #3)
+SCENE_MATRIX = [
+    ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, FWD_MRAYS_FLOOR),
+    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 15.0),
+    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 4.0),
+    ("ward", "scenes/ward.txt", (512, 512), 32, 8, 60.0),
+    ("sss", "scenes/sss.txt", (512, 512), 32, 8, 45.0),
+]
 
 
-def main():
+def bench_forward(path, res, spp, depth, quick):
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.render.integrator import render
     from pathtracer_tpu.scene.parser import load_scene
 
-    quick = "--quick" in sys.argv
-
-    desc = load_scene("scenes/cornell.txt")
-    res = (256, 256) if quick else (800, 800)
+    desc = load_scene(path)
+    if quick:
+        res = (max(res[0] // 4, 128),) * 2
+        spp = max(spp // 8, 4)
     desc = dataclasses.replace(desc, resolution=res)
     scene = desc.scene_for_frame(0)
-
-    spp_warm, spp = (4, 8) if quick else (16, 64)
+    spp_warm = max(spp // 4, 2)
     cfg = RenderConfig(
         wavefront=True,
         nee=True,
-        max_depth=8,
+        max_depth=depth,
         iters_per_launch=spp_warm,
         wavefront_capacity=1 << 18,
     )
-
-    # warmup / compile
-    img, acc, st = render(scene, spp_warm, cfg)
-    jax.block_until_ready(acc)
-
-    t0 = time.perf_counter()
-    img, acc, st = render(scene, spp, cfg)
-    jax.block_until_ready(acc)
+    with warnings.catch_warnings():
+        # split-path fallbacks are the *measured quantity* here, not news
+        warnings.simplefilter("ignore")
+        img, acc, st = render(scene, spp_warm, cfg)  # warmup / compile
+        jax.block_until_ready(acc)
+        t0 = time.perf_counter()
+        img, acc, st = render(scene, spp, cfg)
+        jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
-    fwd_mrays = st["rays_traced"] / dt / 1e6
+    return {
+        "Mrays_per_s": round(st["rays_traced"] / dt / 1e6, 2),
+        "wall_s": round(dt, 3),
+        "resolution": list(res),
+        "spp": spp,
+        "depth": depth,
+        "image_mean": round(float(jnp.mean(img)), 5),
+    }
+
+
+def main():
+    quick = "--quick" in sys.argv
+
+    matrix = {}
+    for name, path, res, spp, depth, floor in SCENE_MATRIX:
+        row = bench_forward(path, res, spp, depth, quick)
+        row["floor_Mrays"] = floor
+        row["floor_ok"] = bool(quick or row["Mrays_per_s"] >= floor)
+        matrix[name] = row
+        print(
+            json.dumps(
+                {
+                    "metric": f"fwd Mrays/s/chip, {name} d{depth} NEE wavefront",
+                    "value": row["Mrays_per_s"],
+                    "unit": "Mrays/s",
+                    "vs_baseline": round(
+                        row["Mrays_per_s"] / NAIVE_MEGAKERNEL_R1_MRAYS, 2
+                    ),
+                    "extra": row,
+                }
+            )
+        )
+        if not row["floor_ok"]:
+            print(
+                f"WARNING: {name} below floor: {row['Mrays_per_s']} < {floor}",
+                file=sys.stderr,
+            )
+
+    fwd_mrays = matrix["cornell"]["Mrays_per_s"]
 
     # fwd+bwd (differentiable mode) at the BASELINE.md config: 800x800
     # Cornell, depth 8.  Rays are MEASURED (the same alive-lane counter the
     # forward engines report, plumbed through render_linear_rays); the
     # convention is rays of ONE forward pass / wall time of the full
     # value_and_grad step (the backward recompute is not double-counted).
+    from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.render.diff import (
         loss_and_grad_rays,
         params_from_description,
     )
+    from pathtracer_tpu.scene.parser import load_scene
 
+    desc = load_scene("scenes/cornell.txt")
     gres = (128, 128) if quick else (800, 800)
     gdesc = dataclasses.replace(desc, resolution=gres)
     params, static = params_from_description(gdesc, 0)
@@ -89,6 +154,7 @@ def main():
         "fwd_bwd_Mrays_floor": FWD_BWD_MRAYS_FLOOR,
         "fwd_ok": bool(quick or fwd_mrays >= FWD_MRAYS_FLOOR),
         "fwd_bwd_ok": bool(quick or fwdbwd_mrays >= FWD_BWD_MRAYS_FLOOR),
+        "matrix_ok": bool(all(r["floor_ok"] for r in matrix.values())),
     }
     if not (floors["fwd_ok"] and floors["fwd_bwd_ok"]):
         print(
@@ -100,7 +166,7 @@ def main():
         json.dumps(
             {
                 "metric": "fwd Mrays/s/chip, 800x800 cornell d8 NEE wavefront",
-                "value": round(fwd_mrays, 2),
+                "value": fwd_mrays,
                 "unit": "Mrays/s",
                 "vs_baseline": round(fwd_mrays / NAIVE_MEGAKERNEL_R1_MRAYS, 2),
                 "extra": {
@@ -109,11 +175,12 @@ def main():
                     "fwd_bwd_rays_measured": float(grays),
                     "fwd_bwd_resolution": list(gres),
                     "fwd_bwd_spp": gspp,
-                    "fwd_wall_s": round(dt, 3),
-                    "spp": spp,
-                    "resolution": list(res),
-                    "image_mean": round(float(jnp.mean(img)), 5),
+                    "fwd_wall_s": matrix["cornell"]["wall_s"],
+                    "spp": matrix["cornell"]["spp"],
+                    "resolution": matrix["cornell"]["resolution"],
+                    "image_mean": matrix["cornell"]["image_mean"],
                     "floors": floors,
+                    "matrix": matrix,
                 },
             }
         )
