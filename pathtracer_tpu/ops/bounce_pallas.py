@@ -181,13 +181,17 @@ def pack_scalars(scene: Scene) -> jax.Array:
 # kernel sub-blocks (all plane math)
 # ---------------------------------------------------------------------------
 
-def _material_fetch(mat_ref, mid, n_materials):
-    """Unrolled select-chain material fetch -> dict of planes."""
+def _material_fetch(mvals, mid):
+    """Unrolled select-chain material fetch -> dict of planes.
+
+    ``mvals``: ``[M][MAT_FIELDS]`` nested list of scalar VALUES (read from
+    the SMEM ref by the kernel wrapper) — value inputs so the whole fetch
+    is differentiable w.r.t. the table under in-kernel ``jax.vjp``."""
     cols = [None] * MAT_FIELDS
-    for m in range(n_materials):
+    for m in range(len(mvals)):
         sel = mid == m
         for k in range(MAT_FIELDS):
-            v = mat_ref[m, k]
+            v = mvals[m][k]
             cols[k] = jnp.where(sel, v, cols[k]) if m else jnp.where(sel, v, 0.0)
     return dict(
         color=(cols[0], cols[1], cols[2]),
@@ -315,19 +319,21 @@ def _sample_bsdf_planes(mat, p, n_raw, d_in, u0, u1, u2):
     )
 
 
-def _sample_lights_planes(ldata_ref, scal_ref, n_geoms, u0, u1, u2, u3):
+def _sample_lights_planes(lvals, svals, u0, u1, u2, u3):
     """Plane transcription of ops.lights.sample_lights (point candidates;
     the caller resolves sphere-vs-cube with the picked light's type flag).
 
-    ``ldata`` row: fwd m00..m23 (0:12), light-pick cdf (12), emit rgb
-    (13:16), world per-axis scales (16:19)."""
-    total_area = scal_ref[0]
-    valid = scal_ref[1] > 0.5
+    ``lvals`` row (VALUES, ``[G][19]``): fwd m00..m23 (0:12), light-pick
+    cdf (12), emit rgb (13:16), world per-axis scales (16:19); ``svals``:
+    [total light area, any-light flag]."""
+    n_geoms = len(lvals)
+    total_area = svals[0]
+    valid = svals[1] > 0.5
 
     # inverse-CDF pick: light_id = sum(u0 > cdf_g)
     lid = jnp.zeros(u0.shape, jnp.int32)
     for g in range(n_geoms):
-        lid = lid + (u0 > ldata_ref[g, 12]).astype(jnp.int32)
+        lid = lid + (u0 > lvals[g][12]).astype(jnp.int32)
     lid = jnp.clip(lid, 0, n_geoms - 1)
 
     # select the picked light's rows (fwd transform, emit color, scales)
@@ -337,10 +343,10 @@ def _sample_lights_planes(ldata_ref, scal_ref, n_geoms, u0, u1, u2, u3):
     for g in range(n_geoms):
         sel = lid == g
         for k in range(12):
-            fwd[k] = jnp.where(sel, ldata_ref[g, k], fwd[k])
+            fwd[k] = jnp.where(sel, lvals[g][k], fwd[k])
         for k in range(3):
-            emit[k] = jnp.where(sel, ldata_ref[g, 13 + k], emit[k])
-            scl[k] = jnp.where(sel, ldata_ref[g, 16 + k], scl[k])
+            emit[k] = jnp.where(sel, lvals[g][13 + k], emit[k])
+            scl[k] = jnp.where(sel, lvals[g][16 + k], scl[k])
     sx, sy, sz = scl
 
     # cube face-pair pick by world area (lights._sample_unit_cube_surface)
@@ -380,54 +386,50 @@ def _sample_lights_planes(ldata_ref, scal_ref, n_geoms, u0, u1, u2, u3):
 
 
 # ---------------------------------------------------------------------------
-# the kernel
+# the physics (pure function of plane + table VALUES)
 # ---------------------------------------------------------------------------
 
-def _bounce_kernel(
-    *refs,
-    n_geoms: int, n_materials: int, nee: bool, t_min: float,
-    mesh_merge: bool = False,
-):
-    # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
-    # under NEE, 11 output planes — see bounce_fused)
-    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
-    (
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-        tx_ref, ty_ref, tz_ref,
-        sample_ref, depth_ref, pspec_ref,
-        mar_ref, mag_ref, mab_ref, ms_ref,
-    ) = refs[5:21]
-    i = 21
-    if mesh_merge:
-        (
-            et_ref, epox_ref, epoy_ref, epoz_ref,
-            enx_ref, eny_ref, enz_ref, emid_ref,
-        ) = refs[i : i + 8]
-        i += 8
-    (
-        cr_ref, cg_ref, cb_ref,
-        nox_ref, noy_ref, noz_ref,
-        ndx_ref, ndy_ref, ndz_ref,
-        tmr_ref, tmg_ref, tmb_ref,
-        term_ref, wspec_ref, rru_ref,
-        omr_ref, omg_ref, omb_ref, oms_ref,
-    ) = refs[i : i + 19]
-    i += 19
-    if mesh_merge and nee:
-        (
-            shx_ref, shy_ref, shz_ref,
-            wix_ref, wiy_ref, wiz_ref,
-            ldist_ref, neer_ref, neeg_ref, neeb_ref, cv_ref,
-        ) = refs[i : i + 11]
+def read_gvals(gdata_ref, n_geoms):
+    """SMEM geom table -> ``[G][14]`` scalar values."""
+    return [[gdata_ref[g, k] for k in range(14)] for g in range(n_geoms)]
 
-    o = (ox_ref[:], oy_ref[:], oz_ref[:])
-    d = (dx_ref[:], dy_ref[:], dz_ref[:])
-    throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
-    sample = sample_ref[:]
-    depth = depth_ref[:]
-    prev_spec = pspec_ref[:] > 0.5
-    sigma_a = (mar_ref[:], mag_ref[:], mab_ref[:])
-    sigma_s = ms_ref[:]
+
+def read_mvals(mat_ref, n_materials):
+    return [[mat_ref[m, k] for k in range(MAT_FIELDS)] for m in range(n_materials)]
+
+
+def read_lvals(ldata_ref, n_geoms):
+    return [[ldata_ref[g, k] for k in range(19)] for g in range(n_geoms)]
+
+
+def bounce_physics(
+    o, d, throughput, sigma_a, sigma_s,
+    gvals, mvals, lvals, svals,
+    u, depth, prev_spec,
+    mesh_in=None,
+    *, nee: bool, t_min: float,
+):
+    """The ENTIRE per-bounce physics as a pure function of component
+    planes and table scalar values — render/common.py's shade_bounce
+    transcribed plane-for-plane (the test suite pins them equal).
+
+    Shared between the forward kernel (:func:`_bounce_kernel` reads refs,
+    calls this, stores refs) and the backward kernel
+    (ops/bounce_grad.py takes ``jax.vjp`` of this very function inside
+    the kernel), so forward and backward can never drift apart.
+
+    Differentiable in ``o, d, throughput, sigma_a, sigma_s`` and every
+    table scalar; ``u, depth, prev_spec, mesh_in`` are non-differentiable
+    (RNG / discrete).  The winner where-chain routes cotangents to the
+    winning geom only — exactly the gradient-lean semantics of
+    ops/intersect.intersect_scene_lean.
+
+    Returns a dict: contrib(3), next_o(3), next_d(3), thr_mult(3),
+    terminate, wspec (bools), rru, out_ma(3), out_ms, and — when
+    ``mesh_in`` is given under NEE — ``nee_deferred`` (the shadow ray +
+    pending NEE term for the wrapper's triangle-occlusion test)."""
+    n_geoms = len(gvals)
+    mesh_merge = mesh_in is not None
 
     # ---- nearest hit (same unrolled pass as _nearest_hit_kernel)
     best_t = jnp.full(o[0].shape, BIG, jnp.float32)
@@ -436,12 +438,12 @@ def _bounce_kernel(
     is_sphere = jnp.zeros(o[0].shape, jnp.float32)
     w = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(6)]
     for g in range(n_geoms):
-        t_g, obj = _geom_t(g, gdata_ref, *o, *d, t_min)
+        t_g, obj = _geom_t(gvals[g], *o, *d, t_min)
         better = t_g < best_t
-        sph_flag = jnp.where(gdata_ref[g, 12] == float(SPHERE), 1.0, 0.0)
+        sph_flag = jnp.where(gvals[g][12] == float(SPHERE), 1.0, 0.0)
         best_t = jnp.where(better, t_g, best_t)
         gid = jnp.where(better, g, gid)
-        mid = jnp.where(better, gdata_ref[g, 13].astype(jnp.int32), mid)
+        mid = jnp.where(better, gvals[g][13].astype(jnp.int32), mid)
         is_sphere = jnp.where(better, sph_flag, is_sphere)
         w = [jnp.where(better, ob, prev) for ob, prev in zip(obj, w)]
     hit = best_t < BIG
@@ -465,7 +467,7 @@ def _bounce_kernel(
     nw = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(3)]
     for g in range(n_geoms):
         sel = gid == g
-        m = [gdata_ref[g, k] for k in range(12)]
+        m = gvals[g]
         nw[0] = jnp.where(sel, m[0] * n_obj[0] + m[4] * n_obj[1] + m[8] * n_obj[2], nw[0])
         nw[1] = jnp.where(sel, m[1] * n_obj[0] + m[5] * n_obj[1] + m[9] * n_obj[2], nw[1])
         nw[2] = jnp.where(sel, m[2] * n_obj[0] + m[6] * n_obj[1] + m[10] * n_obj[2], nw[2])
@@ -477,18 +479,18 @@ def _bounce_kernel(
     # winner here — triangles stream through the accel scan once, the
     # shading stays fully fused.
     if mesh_merge:
-        et = et_ref[:]
+        et = mesh_in["et"]
         mb = et < best_t
         best_t = jnp.where(mb, et, best_t)
-        mid = jnp.where(mb, emid_ref[:], mid)
+        mid = jnp.where(mb, mesh_in["emid"], mid)
         hit = best_t < BIG
         t_safe = jnp.where(hit, best_t, 1.0)
         p = vadd(o, vscale(t_safe, d))
-        p_obj = vwhere(mb, (epox_ref[:], epoy_ref[:], epoz_ref[:]), p_obj)
-        normal = vwhere(mb, (enx_ref[:], eny_ref[:], enz_ref[:]), normal)
+        p_obj = vwhere(mb, mesh_in["epo"], p_obj)
+        normal = vwhere(mb, mesh_in["en"], normal)
 
     # ---- material fetch
-    mat = _material_fetch(mat_ref, mid, n_materials)
+    mat = _material_fetch(mvals, mid)
     emissive = mat["emittance"] > 0.0
 
     # ---- procedural texture (render/common.py texture block)
@@ -521,10 +523,6 @@ def _bounce_kernel(
     )
     normal = vwhere(bump_on, n_bumped, normal)
 
-    # ---- RNG (bit-identical to bounce_uniforms fast path)
-    seed = seed_ref[0]
-    u = hash_uniforms_planes(seed, sample, depth, 11)
-
     # ---- volumetric free path (render/common.py)
     free_path = jnp.where(
         sigma_s > 0.0,
@@ -552,16 +550,15 @@ def _bounce_kernel(
     sc = _sample_bsdf_planes(mat, p, normal, d, u[0], u[1], u[2])
 
     # ---- NEE
+    nee_deferred = None
     if nee:
-        ls = _sample_lights_planes(
-            ldata_ref, scal_ref, n_geoms, u[4], u[5], u[6], u[7]
-        )
+        ls = _sample_lights_planes(lvals, svals, u[4], u[5], u[6], u[7])
         # resolve the sphere/cube pick with the picked light's type flag
         # (float flag plane — Mosaic has no i1 vector storage)
         lid = ls["lid"]
         l_sph_f = jnp.zeros(o[0].shape, jnp.float32)
         for g in range(n_geoms):
-            flag = jnp.where(gdata_ref[g, 12] == float(SPHERE), 1.0, 0.0)
+            flag = jnp.where(gvals[g][12] == float(SPHERE), 1.0, 0.0)
             l_sph_f = jnp.where(lid == g, flag, l_sph_f)
         l_is_sph = l_sph_f > 0.5
         (n_s,) = ls["sphere_parts"]
@@ -579,7 +576,7 @@ def _bounce_kernel(
         for g in range(n_geoms):
             sel = lid == g
             for k in range(12):
-                li[k] = jnp.where(sel, gdata_ref[g, k], li[k])
+                li[k] = jnp.where(sel, gvals[g][k], li[k])
         ln = vnormalize(
             (
                 li[0] * ln_obj[0] + li[4] * ln_obj[1] + li[8] * ln_obj[2],
@@ -600,10 +597,13 @@ def _bounce_kernel(
         diffuse_lane = hit & (~emissive) & (~sc["is_specular"]) & (~vol_scatter)
         candidate = diffuse_lane & ls["valid"] & (cos_x > 0) & (cos_y > 0)
 
-        # shadow occlusion vs the analytic geoms: second unrolled geom loop
+        # shadow occlusion vs the analytic geoms: second unrolled geom
+        # loop.  Visibility is boolean — comparisons carry no cotangent,
+        # so under jax.vjp this sweep transposes to nothing (the
+        # grad-lean detached-occlusion semantics for free).
         occ_t = jnp.full(o[0].shape, BIG, jnp.float32)
         for g in range(n_geoms):
-            t_g, _ = _geom_t(g, gdata_ref, *x, *wi, t_min)
+            t_g, _ = _geom_t(gvals[g], *x, *wi, t_min)
             occ_t = jnp.minimum(occ_t, t_g)
         visible = occ_t >= dist - 4.0 * RAY_BIAS
 
@@ -619,11 +619,10 @@ def _bounce_kernel(
             # wrapper tests mesh occlusion (XLA accel) and adds it in.
             # min(analytic_t, mesh_t) >= thresh == (analytic vis) & (mesh
             # vis), so splitting the test is exact.
-            shx_ref[:], shy_ref[:], shz_ref[:] = x
-            wix_ref[:], wiy_ref[:], wiz_ref[:] = wi
-            ldist_ref[:] = dist
-            neer_ref[:], neeg_ref[:], neeb_ref[:] = nee_rgb
-            cv_ref[:] = jnp.where(candidate & visible, 1.0, 0.0)
+            nee_deferred = dict(
+                x=x, wi=wi, dist=dist, nee_rgb=nee_rgb,
+                cand_vis=jnp.where(candidate & visible, 1.0, 0.0),
+            )
         else:
             add = candidate & visible
             contrib = vadd(contrib, vwhere(add, nee_rgb, zero3))
@@ -653,16 +652,107 @@ def _bounce_kernel(
     out_ma = vwhere(vol_scatter, sigma_a, surf_a)
     out_ms = jnp.where(vol_scatter, sigma_s, surf_s)
 
-    cr_ref[:], cg_ref[:], cb_ref[:] = contrib
-    nox_ref[:], noy_ref[:], noz_ref[:] = next_o
-    ndx_ref[:], ndy_ref[:], ndz_ref[:] = next_d
-    tmr_ref[:], tmg_ref[:], tmb_ref[:] = thr_mult
+    return dict(
+        contrib=contrib,
+        next_o=next_o,
+        next_d=next_d,
+        thr_mult=thr_mult,
+        terminate=terminate,
+        wspec=vol_scatter | sc["is_specular"],
+        rru=u[3],
+        out_ma=out_ma,
+        out_ms=out_ms,
+        nee_deferred=nee_deferred,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the forward kernel (thin wrapper: read refs -> physics -> store refs)
+# ---------------------------------------------------------------------------
+
+def _bounce_kernel(
+    *refs,
+    n_geoms: int, n_materials: int, nee: bool, t_min: float,
+    mesh_merge: bool = False,
+):
+    # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
+    # under NEE, 11 output planes — see bounce_fused)
+    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
+    (
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        tx_ref, ty_ref, tz_ref,
+        sample_ref, depth_ref, pspec_ref,
+        mar_ref, mag_ref, mab_ref, ms_ref,
+    ) = refs[5:21]
+    i = 21
+    mesh_in = None
+    if mesh_merge:
+        (
+            et_ref, epox_ref, epoy_ref, epoz_ref,
+            enx_ref, eny_ref, enz_ref, emid_ref,
+        ) = refs[i : i + 8]
+        i += 8
+        mesh_in = dict(
+            et=et_ref[:],
+            epo=(epox_ref[:], epoy_ref[:], epoz_ref[:]),
+            en=(enx_ref[:], eny_ref[:], enz_ref[:]),
+            emid=emid_ref[:],
+        )
+    (
+        cr_ref, cg_ref, cb_ref,
+        nox_ref, noy_ref, noz_ref,
+        ndx_ref, ndy_ref, ndz_ref,
+        tmr_ref, tmg_ref, tmb_ref,
+        term_ref, wspec_ref, rru_ref,
+        omr_ref, omg_ref, omb_ref, oms_ref,
+    ) = refs[i : i + 19]
+    i += 19
+    if mesh_merge and nee:
+        (
+            shx_ref, shy_ref, shz_ref,
+            wix_ref, wiy_ref, wiz_ref,
+            ldist_ref, neer_ref, neeg_ref, neeb_ref, cv_ref,
+        ) = refs[i : i + 11]
+
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
+    sample = sample_ref[:]
+    depth = depth_ref[:]
+    prev_spec = pspec_ref[:] > 0.5
+    sigma_a = (mar_ref[:], mag_ref[:], mab_ref[:])
+    sigma_s = ms_ref[:]
+
+    # ---- RNG (bit-identical to bounce_uniforms fast path)
+    u = hash_uniforms_planes(seed_ref[0], sample, depth, 11)
+
+    out = bounce_physics(
+        o, d, throughput, sigma_a, sigma_s,
+        read_gvals(gdata_ref, n_geoms),
+        read_mvals(mat_ref, n_materials),
+        read_lvals(ldata_ref, n_geoms),
+        [scal_ref[0], scal_ref[1]],
+        u, depth, prev_spec, mesh_in,
+        nee=nee, t_min=t_min,
+    )
+
+    cr_ref[:], cg_ref[:], cb_ref[:] = out["contrib"]
+    nox_ref[:], noy_ref[:], noz_ref[:] = out["next_o"]
+    ndx_ref[:], ndy_ref[:], ndz_ref[:] = out["next_d"]
+    tmr_ref[:], tmg_ref[:], tmb_ref[:] = out["thr_mult"]
     # bool planes stored as 0/1 floats (Mosaic has no i1 vector memory)
-    term_ref[:] = jnp.where(terminate, 1.0, 0.0)
-    wspec_ref[:] = jnp.where(vol_scatter | sc["is_specular"], 1.0, 0.0)
-    rru_ref[:] = u[3]
-    omr_ref[:], omg_ref[:], omb_ref[:] = out_ma
-    oms_ref[:] = out_ms
+    term_ref[:] = jnp.where(out["terminate"], 1.0, 0.0)
+    wspec_ref[:] = jnp.where(out["wspec"], 1.0, 0.0)
+    rru_ref[:] = out["rru"]
+    omr_ref[:], omg_ref[:], omb_ref[:] = out["out_ma"]
+    oms_ref[:] = out["out_ms"]
+    if mesh_merge and nee:
+        nd = out["nee_deferred"]
+        shx_ref[:], shy_ref[:], shz_ref[:] = nd["x"]
+        wix_ref[:], wiy_ref[:], wiz_ref[:] = nd["wi"]
+        ldist_ref[:] = nd["dist"]
+        neer_ref[:], neeg_ref[:], neeb_ref[:] = nd["nee_rgb"]
+        cv_ref[:] = nd["cand_vis"]
 
 
 # ---------------------------------------------------------------------------

@@ -55,19 +55,22 @@ LANES = 128
 ROWS = 64  # sublane rows per program => 8192 rays/program instance
 
 
-def _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min):
-    """Distance plane for geom ``g`` + its object-space ray planes.
+def _geom_t(grow, ox, oy, oz, dx, dy, dz, t_min):
+    """Distance plane for one geom given its row VALUES + its object-space
+    ray planes.
 
-    ``gdata`` row layout: [m00 m01 m02 m03 m10..m13 m20..m23 type matid],
-    the first three rows of the inverse transform."""
-    m = [gdata_ref[g, k] for k in range(12)]
+    ``grow``: 14 scalars [m00 m01 m02 m03 m10..m13 m20..m23 type matid],
+    the first three rows of the inverse transform.  Taking values (not a
+    ref) keeps this usable under in-kernel ``jax.vjp`` (ops/bounce_grad.py
+    differentiates w.r.t. the table scalars)."""
+    m = grow
     oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
     ooy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
     ooz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
     odx = m[0] * dx + m[1] * dy + m[2] * dz
     ody = m[4] * dx + m[5] * dy + m[6] * dz
     odz = m[8] * dx + m[9] * dy + m[10] * dz
-    gtype = gdata_ref[g, 12]
+    gtype = m[12]
     ts = _sphere_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
     tc = _cube_t_planes(oox, ooy, ooz, odx, ody, odz, t_min)
     # mesh slots (type==MESH) never hit here; merged by the wrapper
@@ -96,7 +99,7 @@ def _nearest_hit_kernel(
     w = [jnp.zeros(ox.shape, jnp.float32) for _ in range(6)]  # winner obj ray
 
     for g in range(n_geoms):  # static unroll: the reference's geom loop
-        t_g, obj = _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min)
+        t_g, obj = _geom_t([gdata_ref[g, k] for k in range(12)] + [gdata_ref[g, 12], gdata_ref[g, 13]], ox, oy, oz, dx, dy, dz, t_min)
         better = t_g < best_t
         sph_flag = jnp.where(gdata_ref[g, 12] == float(SPHERE), 1.0, 0.0)
         best_t = jnp.where(better, t_g, best_t)
@@ -159,7 +162,7 @@ def _winner_kernel(
     best_t = jnp.full(ox.shape, BIG, jnp.float32)
     gid = jnp.zeros(ox.shape, jnp.int32)
     for g in range(n_geoms):
-        t_g, _ = _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min)
+        t_g, _ = _geom_t([gdata_ref[g, k] for k in range(12)] + [gdata_ref[g, 12], gdata_ref[g, 13]], ox, oy, oz, dx, dy, dz, t_min)
         better = t_g < best_t
         best_t = jnp.where(better, t_g, best_t)
         gid = jnp.where(better, g, gid)
@@ -195,7 +198,7 @@ def _occlusion_kernel(
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     best_t = jnp.full(ox.shape, BIG, jnp.float32)
     for g in range(n_geoms):
-        t_g, _ = _geom_t(g, gdata_ref, ox, oy, oz, dx, dy, dz, t_min)
+        t_g, _ = _geom_t([gdata_ref[g, k] for k in range(12)] + [gdata_ref[g, 12], gdata_ref[g, 13]], ox, oy, oz, dx, dy, dz, t_min)
         best_t = jnp.minimum(best_t, t_g)
     t_ref[:] = best_t
 
