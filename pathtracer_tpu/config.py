@@ -46,6 +46,13 @@ class RenderConfig:
     # Cook-Torrance materials (meshes ARE supported via the mesh-merge
     # variant).  The auto path warns once when it declines for a reason
     # the scene author controls (textures / microfacet / slow RNG).
+    grad_fused: bool | None = None  # fused Pallas backward for the bounce
+    # (ops/bounce_grad.py): forward = the fused megakernel, backward = a
+    # Pallas kernel computing jax.vjp of the same physics in VMEM.
+    # None = auto (on for TPU when the scene qualifies: analytic-only, no
+    # image textures, fast_rng, no Cook-Torrance/Ward/HG); True forces it
+    # (incl. interpret mode on CPU — tests); False pins the lean XLA
+    # backward.  See render/common.fused_diff_eligible.
     grad_lean: bool = False  # gradient-lean intersection: winner search
     # under stop_gradient (Pallas kernel when pallas is active), O(N)
     # differentiable recompute of the winning primitive only, and a

@@ -1,0 +1,399 @@
+"""Fused backward for the bounce megakernel (VERDICT r3 #1).
+
+The differentiable path used to run its backward on the gradient-lean XLA
+graph: a per-bounce remat recompute plus XLA's transpose — measured ~5x
+slower than the same physics running forward as Pallas planes
+(render/diff.py decomposition: 57 ms fused primal + ~123 ms recompute +
+~150 ms transpose at 800x800 d8 gspp=4).  This module replaces that with
+a **Pallas backward kernel**: ``jax.vjp`` of the very
+:func:`~pathtracer_tpu.ops.bounce_pallas.bounce_physics` function the
+forward kernel runs, taken *inside* a second kernel — the recompute AND
+its transpose both execute as fused component-plane VPU code with all
+intermediates in VMEM.  Because forward and backward differentiate the
+same pure function, they cannot drift apart.
+
+Gradient semantics (identical to the gradient-lean XLA path a.e.):
+
+* the nearest-hit where-chain transposes to winner-only cotangents — the
+  ``intersect_scene_lean`` winner/recompute split, for free;
+* shadow-ray visibility and every discrete choice are comparisons →
+  boolean → zero cotangent (detached sampling);
+* the RNG planes are integer-derived → constants under vjp.
+
+One deliberate superset: the kernel always models the procedural
+texture / bump / volumetric / glossy blocks (the ``RenderConfig.features``
+defaults), so e.g. absorption coefficients get their TRUE nonzero
+gradients even when auto-trimming would have dropped the volumetric
+block from the lean graph — primal and gradient are consistent by
+construction (the split fast-primal path was not, when trimming).
+
+Parameter gradients: each grid program accumulates its table cotangents
+into one shared SMEM row (TPU Pallas grids run sequentially on a core, so
+revisiting the same output block is the canonical reduction); the
+``custom_vjp`` wrapper routes them back through the differentiable
+``pack_*`` table builders to ``SceneParams`` leaves.
+
+Scope: analytic scenes (no triangle meshes), no image-texture atlas, no
+Cook-Torrance/Ward/HG — exactly the fused forward kernel's own scope.
+Reference: this is the backward of the completed trace kernel
+(``src/raytraceKernel.cu:123-159``), which the reference cannot
+differentiate at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_tpu.ops.bounce_pallas import (
+    MAT_FIELDS,
+    _bounce_kernel,
+    bounce_physics,
+    hash_uniforms_planes,
+    pack_light_table,
+    pack_material_table,
+    pack_scalars,
+    read_gvals,
+    read_lvals,
+    read_mvals,
+)
+from pathtracer_tpu.ops.intersect import T_MIN
+from pathtracer_tpu.ops.intersect_pallas import LANES, ROWS, _pack_gdata
+
+BWD_ROWS = 32  # sublane rows per backward program (vjp needs ~3x the
+# live planes of forward; smaller tiles keep it comfortably in VMEM)
+
+GDATA_COLS = 14
+LDATA_COLS = 19
+
+
+def _grad_row_len(n_geoms: int, n_materials: int) -> int:
+    return n_geoms * GDATA_COLS + n_materials * MAT_FIELDS + n_geoms * LDATA_COLS + 2
+
+
+def _pad_to_planes(arr, npad, pad_value=0.0):
+    """[N] or [N, C] -> list of [npad/LANES, LANES] component planes."""
+    n = arr.shape[0]
+    if npad != n:
+        pad_width = [(0, npad - n)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad_width, constant_values=pad_value)
+    if arr.ndim == 1:
+        return [arr.reshape(-1, LANES)]
+    return [arr[:, i].reshape(-1, LANES) for i in range(arr.shape[1])]
+
+
+def _bounce_bwd_kernel(
+    *refs, n_geoms: int, n_materials: int, nee: bool, t_min: float
+):
+    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
+    (
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        tx_ref, ty_ref, tz_ref,
+        sample_ref, depth_ref, pspec_ref,
+        mar_ref, mag_ref, mab_ref, ms_ref,
+    ) = refs[5:21]
+    (
+        gcr_ref, gcg_ref, gcb_ref,
+        gnox_ref, gnoy_ref, gnoz_ref,
+        gndx_ref, gndy_ref, gndz_ref,
+        gtmr_ref, gtmg_ref, gtmb_ref,
+        gomr_ref, gomg_ref, gomb_ref, goms_ref,
+    ) = refs[21:37]
+    (
+        dox_ref, doy_ref, doz_ref,
+        ddx_ref, ddy_ref, ddz_ref,
+        dtx_ref, dty_ref, dtz_ref,
+        dmar_ref, dmag_ref, dmab_ref, dms_ref,
+    ) = refs[37:50]
+    dtab_ref = refs[50]
+
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
+    sample = sample_ref[:]
+    depth = depth_ref[:]
+    prev_spec = pspec_ref[:] > 0.5
+    sigma_a = (mar_ref[:], mag_ref[:], mab_ref[:])
+    sigma_s = ms_ref[:]
+
+    # identical uniforms to the forward kernel (pure fn of seed/sample/depth)
+    u = hash_uniforms_planes(seed_ref[0], sample, depth, 11)
+
+    gvals = read_gvals(gdata_ref, n_geoms)
+    mvals = read_mvals(mat_ref, n_materials)
+    lvals = read_lvals(ldata_ref, n_geoms)
+    svals = [scal_ref[0], scal_ref[1]]
+
+    def f(o, d, thr, sa, ss, gvals, mvals, lvals, svals):
+        out = bounce_physics(
+            o, d, thr, sa, ss, gvals, mvals, lvals, svals,
+            u, depth, prev_spec, None, nee=nee, t_min=t_min,
+        )
+        return (
+            out["contrib"], out["next_o"], out["next_d"], out["thr_mult"],
+            out["out_ma"], out["out_ms"],
+        )
+
+    _, vjp = jax.vjp(f, o, d, throughput, sigma_a, sigma_s, gvals, mvals, lvals, svals)
+    cots = (
+        (gcr_ref[:], gcg_ref[:], gcb_ref[:]),
+        (gnox_ref[:], gnoy_ref[:], gnoz_ref[:]),
+        (gndx_ref[:], gndy_ref[:], gndz_ref[:]),
+        (gtmr_ref[:], gtmg_ref[:], gtmb_ref[:]),
+        (gomr_ref[:], gomg_ref[:], gomb_ref[:]),
+        goms_ref[:],
+    )
+    d_o, d_d, d_thr, d_sa, d_ss, d_g, d_m, d_l, d_s = vjp(cots)
+
+    dox_ref[:], doy_ref[:], doz_ref[:] = d_o
+    ddx_ref[:], ddy_ref[:], ddz_ref[:] = d_d
+    dtx_ref[:], dty_ref[:], dtz_ref[:] = d_thr
+    dmar_ref[:], dmag_ref[:], dmab_ref[:] = d_sa
+    dms_ref[:] = d_ss
+
+    # ---- parameter-gradient accumulation across the sequential grid
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for j in range(_grad_row_len(n_geoms, n_materials)):
+            dtab_ref[0, j] = 0.0
+
+    idx = 0
+    for g in range(n_geoms):
+        for k in range(GDATA_COLS):
+            dtab_ref[0, idx] += d_g[g][k]
+            idx += 1
+    for m in range(n_materials):
+        for k in range(MAT_FIELDS):
+            dtab_ref[0, idx] += d_m[m][k]
+            idx += 1
+    for g in range(n_geoms):
+        for k in range(LDATA_COLS):
+            dtab_ref[0, idx] += d_l[g][k]
+            idx += 1
+    dtab_ref[0, idx] += d_s[0]
+    dtab_ref[0, idx + 1] += d_s[1]
+
+
+def _plane_specs(rows: int, tile_rows: int):
+    grid = (rows // tile_rows,)
+    plane = pl.BlockSpec(
+        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return grid, plane, smem
+
+
+def _fused_fwd_call(
+    gdata, mdata, ldata, scal, seed,
+    origin, direction, throughput, med4,
+    sample_idx, depth_arr, prev_specular,
+    *, n_geoms, n_materials, nee, interpret,
+):
+    """Non-mesh forward pallas_call of ``_bounce_kernel`` -> tuple of [N]
+    arrays ``(contrib, next_o, next_d, thr_mult, next_med4, term, wspec,
+    rru)``."""
+    n = origin.shape[0]
+    tile = ROWS * LANES
+    npad = -(-n // tile) * tile
+    rows = npad // LANES
+    planes = (
+        _pad_to_planes(origin, npad)
+        + _pad_to_planes(direction, npad, pad_value=1.0)
+        + _pad_to_planes(throughput, npad)
+        + _pad_to_planes(sample_idx.astype(jnp.int32), npad)
+        + _pad_to_planes(depth_arr, npad)
+        + _pad_to_planes(prev_specular.astype(jnp.float32), npad)
+        + _pad_to_planes(med4, npad)
+    )
+    grid, plane, smem = _plane_specs(rows, ROWS)
+    fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(
+            _bounce_kernel,
+            n_geoms=n_geoms, n_materials=n_materials,
+            nee=nee, t_min=T_MIN, mesh_merge=False,
+        ),
+        grid=grid,
+        in_specs=[smem] * 5 + [plane] * 16,
+        out_specs=tuple([plane] * 19),
+        out_shape=tuple([fshp] * 19),
+        interpret=interpret,
+    )(gdata, mdata, ldata, scal, seed, *planes)
+
+    def unp(i):
+        return outs[i].reshape(-1)[:n]
+
+    def unp3(i):
+        return jnp.stack([unp(i), unp(i + 1), unp(i + 2)], axis=-1)
+
+    return (
+        unp3(0),  # contrib
+        unp3(3),  # next_origin
+        unp3(6),  # next_direction
+        unp3(9),  # throughput_mult
+        jnp.concatenate([unp3(15), unp(18)[:, None]], axis=-1),  # next_med4
+        unp(12) > 0.5,  # terminate
+        unp(13) > 0.5,  # was_specular
+        unp(14),  # rr_uniform
+    )
+
+
+def _fused_bwd_call(
+    gdata, mdata, ldata, scal, seed,
+    origin, direction, throughput, med4,
+    sample_idx, depth_arr, prev_specular,
+    g_contrib, g_next_o, g_next_d, g_thr_mult, g_med4,
+    *, n_geoms, n_materials, nee, interpret,
+):
+    """Backward pallas_call -> ``(d_gdata, d_mdata, d_ldata, d_scal, d_o,
+    d_d, d_thr, d_med4)``."""
+    n = origin.shape[0]
+    tile = BWD_ROWS * LANES
+    npad = -(-n // tile) * tile
+    rows = npad // LANES
+    carry_planes = (
+        _pad_to_planes(origin, npad)
+        + _pad_to_planes(direction, npad, pad_value=1.0)
+        + _pad_to_planes(throughput, npad)
+        + _pad_to_planes(sample_idx.astype(jnp.int32), npad)
+        + _pad_to_planes(depth_arr, npad)
+        + _pad_to_planes(prev_specular.astype(jnp.float32), npad)
+        + _pad_to_planes(med4, npad)
+    )
+    # cotangents pad with ZEROS: a vjp is linear in the cotangent, so the
+    # pad lanes contribute exactly nothing to the table gradients
+    cot_planes = (
+        _pad_to_planes(g_contrib, npad)
+        + _pad_to_planes(g_next_o, npad)
+        + _pad_to_planes(g_next_d, npad)
+        + _pad_to_planes(g_thr_mult, npad)
+        + _pad_to_planes(g_med4, npad)
+    )
+    grid, plane, smem = _plane_specs(rows, BWD_ROWS)
+    fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    krow = _grad_row_len(n_geoms, n_materials)
+    outs = pl.pallas_call(
+        functools.partial(
+            _bounce_bwd_kernel,
+            n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
+        ),
+        grid=grid,
+        in_specs=[smem] * 5 + [plane] * 32,
+        out_specs=tuple(
+            [plane] * 13
+            + [pl.BlockSpec((1, krow), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+        ),
+        out_shape=tuple(
+            [fshp] * 13 + [jax.ShapeDtypeStruct((1, krow), jnp.float32)]
+        ),
+        interpret=interpret,
+    )(gdata, mdata, ldata, scal, seed, *carry_planes, *cot_planes)
+
+    def unp(i):
+        return outs[i].reshape(-1)[:n]
+
+    def unp3(i):
+        return jnp.stack([unp(i), unp(i + 1), unp(i + 2)], axis=-1)
+
+    d_o = unp3(0)
+    d_d = unp3(3)
+    d_thr = unp3(6)
+    d_med4 = jnp.concatenate([unp3(9), unp(12)[:, None]], axis=-1)
+    row = outs[13][0]
+    i0 = 0
+    d_gdata = row[i0 : i0 + n_geoms * GDATA_COLS].reshape(n_geoms, GDATA_COLS)
+    i0 += n_geoms * GDATA_COLS
+    d_mdata = row[i0 : i0 + n_materials * MAT_FIELDS].reshape(
+        n_materials, MAT_FIELDS
+    )
+    i0 += n_materials * MAT_FIELDS
+    d_ldata = row[i0 : i0 + n_geoms * LDATA_COLS].reshape(n_geoms, LDATA_COLS)
+    i0 += n_geoms * LDATA_COLS
+    d_scal = row[i0 : i0 + 2]
+    return d_gdata, d_mdata, d_ldata, d_scal, d_o, d_d, d_thr, d_med4
+
+
+def bounce_fused_diff(
+    scene,
+    origin, direction, throughput, sample_idx, depth, prev_specular,
+    medium_sigma, base_key, cfg, interpret: bool = False,
+):
+    """Differentiable fused bounce: forward = the fused Pallas megakernel,
+    backward = the Pallas vjp kernel.  Returns a render.common.BounceResult.
+
+    Preconditions (enforced by render/common.fused_diff_eligible): analytic
+    scene (no meshes), no image textures, fast counter-hash RNG, no
+    Cook-Torrance/Ward/HG features, narrow [N, 4] medium state."""
+    from pathtracer_tpu.ops.rng import key_to_seed
+    from pathtracer_tpu.render.common import BounceResult
+
+    n_geoms = scene.geoms.count
+    n_materials = scene.materials.count
+    n = origin.shape[0]
+
+    # differentiable table packing: cotangents of these arrays flow back
+    # to SceneParams leaves through jax's own vjp of the pack functions
+    gdata = _pack_gdata(scene.geoms)
+    mdata = pack_material_table(scene.materials)
+    ldata = pack_light_table(scene.geoms, scene.materials)
+    scal = pack_scalars(scene)
+    seed = key_to_seed(base_key).reshape(1)
+    depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
+    med4 = medium_sigma[:, :4]
+
+    @jax.custom_vjp
+    def inner(gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed):
+        return _fused_fwd_call(
+            gdata, mdata, ldata, scal, seed, o, d, thr, med4,
+            sample_idx, depth_arr, pspec,
+            n_geoms=n_geoms, n_materials=n_materials,
+            nee=cfg.nee, interpret=interpret,
+        )
+
+    def inner_fwd(gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed):
+        out = inner(
+            gdata, mdata, ldata, scal, o, d, thr, med4,
+            sample_idx, depth_arr, pspec, seed,
+        )
+        res = (gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed)
+        return out, res
+
+    def inner_bwd(res, g):
+        gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed = res
+        g_contrib, g_no, g_nd, g_tm, g_med = g[0], g[1], g[2], g[3], g[4]
+        # g[5:8] — terminate / was_specular / rr_uniform cotangents: the
+        # first two are boolean (float0), rr is raw RNG (du/dparams = 0);
+        # all correctly ignored.
+        d_gdata, d_mdata, d_ldata, d_scal, d_o, d_d, d_thr, d_med4 = _fused_bwd_call(
+            gdata, mdata, ldata, scal, seed, o, d, thr, med4,
+            sample_idx, depth_arr, pspec,
+            g_contrib, g_no, g_nd, g_tm, g_med,
+            n_geoms=n_geoms, n_materials=n_materials,
+            nee=cfg.nee, interpret=interpret,
+        )
+        return (
+            d_gdata, d_mdata, d_ldata, d_scal,
+            d_o, d_d, d_thr, d_med4,
+            None, None, None, None,
+        )
+
+    inner.defvjp(inner_fwd, inner_bwd)
+
+    contrib, next_o, next_d, thr_mult, next_med4, term, wspec, rru = inner(
+        gdata, mdata, ldata, scal, origin, direction, throughput, med4,
+        sample_idx, depth_arr, prev_specular, seed,
+    )
+    return BounceResult(
+        contrib=contrib,
+        next_origin=next_o,
+        next_direction=next_d,
+        throughput_mult=thr_mult,
+        terminate=term,
+        was_specular=wspec,
+        rr_uniform=rru,
+        next_medium=next_med4,
+    )

@@ -70,6 +70,25 @@ class BounceResult:
     next_medium: jax.Array  # [N, 4|5] (sigma_a rgb, sigma_s[, HG g]) of medium entered
 
 
+def fused_diff_eligible(scene: Scene, cfg: RenderConfig) -> bool:
+    """True when the differentiable path may use the fused Pallas bounce
+    with the Pallas vjp backward (ops/bounce_grad.py) instead of the
+    gradient-lean XLA graph.  Scope = the fused forward kernel's own
+    scope: analytic geoms only, no image-texture atlas, counter-hash RNG,
+    none of the split-path-only features."""
+    if cfg.grad_fused is False:
+        return False
+    if not cfg.fast_rng:
+        return False
+    if scene.meshes or scene.textures is not None:
+        return False
+    if {"microfacet", "ward", "hg"} & set(cfg.features):
+        return False
+    if cfg.grad_fused:  # explicit opt-in (tests run it interpreted on CPU)
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def shade_bounce(
     scene: Scene,
     rays: Rays,
@@ -168,6 +187,18 @@ def shade_bounce(
         if medium_sigma is None:
             medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
         return bounce_fused(
+            scene, rays.origin, rays.direction, throughput, sample_idx,
+            depth, prev_specular, medium_sigma, base_key, cfg,
+            interpret=interp_all,
+        )
+    if cfg.grad_lean and fused_diff_eligible(scene, cfg):
+        # fused Pallas forward + Pallas vjp backward: the whole bounce
+        # (and its transpose) runs as component planes in VMEM
+        from pathtracer_tpu.ops.bounce_grad import bounce_fused_diff
+
+        if medium_sigma is None:
+            medium_sigma = jnp.zeros((throughput.shape[0], 4), throughput.dtype)
+        return bounce_fused_diff(
             scene, rays.origin, rays.direction, throughput, sample_idx,
             depth, prev_specular, medium_sigma, base_key, cfg,
             interpret=interp_all,

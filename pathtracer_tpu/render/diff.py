@@ -261,8 +261,27 @@ def render_linear_rays(
         pixel_index = jax.lax.iota(jnp.int32, w * h)
     n_glob = n_global_pixels
 
-    fast_primal = jax.default_backend() == "tpu" and cfg.fast_rng
-    if fast_primal:
+    from pathtracer_tpu.render.common import fused_diff_eligible
+
+    if fused_diff_eligible(scene, cfg_bwd):
+        # Fused-diff engine (ops/bounce_grad.py): the primal IS the fused
+        # Pallas kernel and the backward IS the Pallas vjp kernel — no
+        # sample-level custom_vjp or lean re-trace needed.  The bounce
+        # custom_vjp saves its carries per bounce (~16 planes x depth);
+        # for big spp a per-iteration checkpoint bounds that to one
+        # iteration (recompute = the fast fused forward).
+        if spp > 8:
+            @jax.checkpoint
+            def sample(scene, pix, it, key):
+                return render_sample(
+                    scene, pix, it, key, cfg_bwd, n_global_pixels=n_glob
+                )
+        else:
+            def sample(scene, pix, it, key):
+                return render_sample(
+                    scene, pix, it, key, cfg_bwd, n_global_pixels=n_glob
+                )
+    elif jax.default_backend() == "tpu" and cfg.fast_rng:
         cfg_fwd = dataclasses.replace(cfg, grad_lean=False, debug=False)
 
         @jax.custom_vjp

@@ -1,0 +1,208 @@
+"""Fused Pallas backward (ops/bounce_grad.py) vs the gradient-lean XLA
+backward: same losses, same gradients (VERDICT r3 #1).
+
+The comparison scene is deliberately small (4 geoms / 4 materials:
+area light, diffuse floor, mirror sphere, glass sphere) because the
+interpret-mode vjp kernel inlines one unrolled select-chain per table row
+— compile time on CPU scales with G and M.  It still exercises every
+gradient path: emittance, diffuse albedo + NEE, specular mirror, Fresnel
+dielectric, TRS transforms, and the camera.
+
+Both configs pin ``auto_features=False`` so the two graphs model the same
+physics (the fused kernel is a monolith that always includes the default
+texture/bump/volumetric/glossy blocks; letting auto-trimming drop
+`volumetric` from the lean graph would zero its absorption gradients
+while the kernel reports the true ones — a documented superset, not a
+bug).
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.config import RenderConfig
+
+MINI_SCENE = """MATERIAL 0
+RGB 0.9 0.85 0.8
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 6
+
+MATERIAL 1
+RGB .45 .65 .85
+SPECEX 0
+SPECRGB 1 1 1
+REFL 0
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 2
+RGB 0 0 0
+SPECEX 0
+SPECRGB .95 .92 .9
+REFL 1
+REFR 0
+REFRIOR 0
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+
+MATERIAL 3
+RGB 0 0 0
+SPECEX 0
+SPECRGB .98 .98 .98
+REFL 0
+REFR 1
+REFRIOR 1.5
+SCATTER 0
+ABSCOEFF 0 0 0
+RSCTCOEFF 0
+EMITTANCE 0
+
+CAMERA
+RES 40 40
+FOVY 35
+ITERATIONS 1
+FILE out.bmp
+frame 0
+EYE 0 2.5 9
+VIEW 0 -0.15 -1
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+frame 0
+TRANS 0 7 0
+ROTAT 0 0 0
+SCALE 4 .3 4
+
+OBJECT 1
+cube
+material 1
+frame 0
+TRANS 0 -1 0
+ROTAT 0 0 0
+SCALE 14 .3 14
+
+OBJECT 2
+sphere
+material 2
+frame 0
+TRANS -1.6 0.6 0
+ROTAT 0 0 0
+SCALE 2.4 2.4 2.4
+
+OBJECT 3
+sphere
+material 3
+frame 0
+TRANS 1.7 0.4 1
+ROTAT 0 30 0
+SCALE 2 2 2
+"""
+
+
+@pytest.fixture(scope="module")
+def mini():
+    from pathtracer_tpu.scene.parser import parse_scene_text
+
+    return parse_scene_text(MINI_SCENE, name="mini")
+
+
+@pytest.mark.slow
+def test_fused_backward_matches_lean(mini):
+    """loss_and_grad via the Pallas vjp kernel == the lean XLA backward,
+    every SceneParams leaf, to fp32 reassociation tolerance."""
+    from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
+
+    params, static = params_from_description(mini, 0)
+    key = jax.random.PRNGKey(7)
+    n = static.resolution[0] * static.resolution[1]
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+    base = RenderConfig(
+        wavefront=False, nee=True, max_depth=4, auto_features=False
+    )
+    l0, g0 = loss_and_grad(
+        params, static, target, 2, key,
+        dataclasses.replace(base, grad_fused=False),
+    )
+    l1, g1 = loss_and_grad(
+        params, static, target, 2, key,
+        dataclasses.replace(base, grad_fused=True),
+    )
+    assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
+
+    leaves0 = jax.tree_util.tree_leaves_with_path(g0)
+    leaves1 = jax.tree_util.tree_leaves_with_path(g1)
+    assert len(leaves0) == len(leaves1)
+    gscale = max(
+        float(np.abs(np.asarray(v)).max()) for _, v in leaves0
+    )
+    for (p0, v0), (_, v1) in zip(leaves0, leaves1):
+        d = float(np.abs(np.asarray(v0) - np.asarray(v1)).max())
+        assert d <= 5e-4 * max(gscale, 1.0), (
+            jax.tree_util.keystr(p0), d, gscale
+        )
+
+
+@pytest.mark.slow
+def test_fused_backward_nee_off(mini):
+    """Same equality with the pure BSDF+emittance estimator (nee=False
+    exercises the kernel's non-NEE compile path under vjp)."""
+    from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
+
+    params, static = params_from_description(mini, 0)
+    key = jax.random.PRNGKey(3)
+    n = static.resolution[0] * static.resolution[1]
+    target = jnp.zeros((n, 3), jnp.float32)
+    base = RenderConfig(
+        wavefront=False, nee=False, max_depth=3, auto_features=False
+    )
+    l0, g0 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=False),
+    )
+    l1, g1 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=True),
+    )
+    assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
+    f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
+    f1 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g1)])
+    scale = max(np.abs(f0).max(), 1.0)
+    np.testing.assert_allclose(f1, f0, atol=5e-4 * scale)
+
+
+def test_fused_diff_eligibility(cornell):
+    """The auto predicate: on for analytic scenes under the kernel's
+    scope, off for meshes / textures / split-path features / slow RNG."""
+    from pathtracer_tpu.render.common import fused_diff_eligible
+
+    scene = cornell.scene_for_frame(0)
+    on = RenderConfig(grad_fused=True)
+    assert fused_diff_eligible(scene, on)
+    assert not fused_diff_eligible(scene, dataclasses.replace(on, grad_fused=False))
+    assert not fused_diff_eligible(scene, dataclasses.replace(on, fast_rng=False))
+    assert not fused_diff_eligible(
+        scene, dataclasses.replace(on, features=("microfacet",))
+    )
+    # CPU + auto (None) stays off: interpret-mode kernels are for tests only
+    auto = RenderConfig()
+    if jax.default_backend() != "tpu":
+        assert not fused_diff_eligible(scene, auto)
