@@ -36,23 +36,26 @@ import jax.numpy as jnp
 NAIVE_MEGAKERNEL_R1_MRAYS = 6.4  # round-1 masked megakernel, same chip
 
 # non-blocking regression floors, ~55% of the measured numbers
-FWD_MRAYS_FLOOR = 300.0
+FWD_MRAYS_FLOOR = 550.0  # ktrace engine landed r4 (1019 measured)
 FWD_BWD_MRAYS_FLOOR = 100.0  # VERDICT r3 #1: raised from 45
 
-# (name, scene file, resolution, spp, depth, Mrays/s floor)
-# floors ~55% of measured; first measured r4 start on v5e:
-# cornell 577.4 / textured_image 28.2 / smooth_mesh 7.4 / ward 109.0 /
-# sss 81.1 — the quantified split-path cliff (VERDICT r3 weak #3)
+# (name, scene file, resolution, spp, depth, Mrays/s floor, wavefront)
+# floors ~55% of measured; r4 start on v5e was cornell 577.4 /
+# textured_image 28.2 / smooth_mesh 7.4 / ward 109.0 / sss 81.1 — the
+# quantified split-path cliff (VERDICT r3 weak #3).  cornell now runs the
+# full-depth fused trace kernel (megakernel engine, ops/trace_pallas.py:
+# 1019 Mrays/s measured when it landed); the split-path classes keep the
+# wavefront engine.
 SCENE_MATRIX = [
-    ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, FWD_MRAYS_FLOOR),
-    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 15.0),
-    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 4.0),
-    ("ward", "scenes/ward.txt", (512, 512), 32, 8, 60.0),
-    ("sss", "scenes/sss.txt", (512, 512), 32, 8, 45.0),
+    ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, 550.0, False),
+    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 15.0, True),
+    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 4.0, True),
+    ("ward", "scenes/ward.txt", (512, 512), 32, 8, 60.0, True),
+    ("sss", "scenes/sss.txt", (512, 512), 32, 8, 45.0, True),
 ]
 
 
-def bench_forward(path, res, spp, depth, quick):
+def bench_forward(path, res, spp, depth, quick, wavefront=True):
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.render.integrator import render
     from pathtracer_tpu.scene.parser import load_scene
@@ -65,7 +68,7 @@ def bench_forward(path, res, spp, depth, quick):
     scene = desc.scene_for_frame(0)
     spp_warm = max(spp // 4, 2)
     cfg = RenderConfig(
-        wavefront=True,
+        wavefront=wavefront,
         nee=True,
         max_depth=depth,
         iters_per_launch=spp_warm,
@@ -94,15 +97,16 @@ def main():
     quick = "--quick" in sys.argv
 
     matrix = {}
-    for name, path, res, spp, depth, floor in SCENE_MATRIX:
-        row = bench_forward(path, res, spp, depth, quick)
+    for name, path, res, spp, depth, floor, wavefront in SCENE_MATRIX:
+        row = bench_forward(path, res, spp, depth, quick, wavefront)
         row["floor_Mrays"] = floor
         row["floor_ok"] = bool(quick or row["Mrays_per_s"] >= floor)
         matrix[name] = row
         print(
             json.dumps(
                 {
-                    "metric": f"fwd Mrays/s/chip, {name} d{depth} NEE wavefront",
+                    "metric": f"fwd Mrays/s/chip, {name} d{depth} NEE "
+                    + ("wavefront" if wavefront else "fused-trace"),
                     "value": row["Mrays_per_s"],
                     "unit": "Mrays/s",
                     "vs_baseline": round(
@@ -165,7 +169,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "fwd Mrays/s/chip, 800x800 cornell d8 NEE wavefront",
+                "metric": "fwd Mrays/s/chip, 800x800 cornell d8 NEE fused-trace",
                 "value": fwd_mrays,
                 "unit": "Mrays/s",
                 "vs_baseline": round(fwd_mrays / NAIVE_MEGAKERNEL_R1_MRAYS, 2),

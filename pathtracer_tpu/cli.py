@@ -56,9 +56,10 @@ def build_argparser():
     p.add_argument("--no-jitter", action="store_true", help="disable AA jitter")
     p.add_argument(
         "--engine",
-        choices=["wavefront", "megakernel"],
-        default="wavefront",
-        help="path tracing engine",
+        choices=["auto", "wavefront", "megakernel"],
+        default="auto",
+        help="path tracing engine (auto: the full-depth fused-trace "
+        "megakernel for analytic scenes on TPU, wavefront otherwise)",
     )
     p.add_argument("--preview-every", type=int, default=0, help="dump preview PNG every N spp")
     p.add_argument("--checkpoint-every", type=int, default=0, help="save resume state every N spp")
@@ -130,11 +131,31 @@ def main(argv=None):
 
     desc = load_scene(args.scene)
     spp = args.spp if args.spp is not None else desc.iterations
+    engine = args.engine
+    if engine == "auto":
+        # megakernel = the full-depth fused trace for eligible scenes on
+        # TPU (ops/trace_pallas.py, ~1.8x the wavefront engine on
+        # cornell); the wavefront engine's lane regeneration wins on the
+        # split-path classes (meshes / image textures / CT-Ward-HG)
+        from pathtracer_tpu.ops.trace_pallas import fused_trace_eligible
+        from pathtracer_tpu.render.diff import resolve_features
+
+        probe_cfg = resolve_features(
+            RenderConfig(), desc.scene_for_frame(args.frame).materials
+        )
+        eligible = fused_trace_eligible(
+            desc.scene_for_frame(args.frame), probe_cfg
+        )
+        engine = (
+            "megakernel"
+            if (eligible and jax.default_backend() == "tpu")
+            else "wavefront"
+        )
     cfg = RenderConfig(
         max_depth=args.depth,
         jitter=not args.no_jitter,
         seed=args.seed,
-        wavefront=(args.engine == "wavefront"),
+        wavefront=(engine == "wavefront"),
         debug=args.debug,
     )
 
@@ -167,7 +188,7 @@ def main(argv=None):
         if is_main:
             print(
                 f"[pathtracer-tpu] frame {frame}: {w}x{h}, {spp} spp, depth "
-                f"{cfg.max_depth}, engine={args.engine}, "
+                f"{cfg.max_depth}, engine={engine}, "
                 f"devices={jax.device_count()}"
                 + (f" (sharded, {jax.process_count()} process(es))" if args.sharded else "")
             )

@@ -1,0 +1,237 @@
+"""Full-depth fused trace kernel: the ENTIRE path trace in one
+``pallas_call`` (VERDICT r3 #2 — multi-bounce fusion).
+
+The per-bounce fused kernel (ops/bounce_pallas.py) still paid, per
+bounce, the pack/unpack of ~35 state planes through HBM plus a
+pallas-call launch and the XLA glue between bounces — measured ~1.2 ms
+marginal per bounce at 640k lanes where the kernel's own HBM+compute
+bound is ~0.3 ms.  This kernel loops all ``max_depth`` bounces INSIDE
+the kernel: path state (origin, direction, throughput, medium,
+alive/spec flags, the radiance accumulator) lives in VMEM/registers for
+the whole path, and the only HBM traffic per wavefront is 7 input planes
+(primary ray + sample id) and 3 output planes (radiance) — a ~50x
+reduction in bounce-loop HBM traffic.
+
+Engine semantics are the masked megakernel's (render/megakernel.py
+``trace_paths``), bit-for-bit: same physics (:func:`bounce_physics` is
+called per bounce — one source of truth), same RNG planes, same alive
+masking, russian-roulette, and ray-count accounting.  The equality is
+pinned by tests/test_trace_pallas.py.
+
+Scope: analytic scenes (the mesh/texture classes take the per-bounce
+mesh-merge path).  Reference: this is the completed assignment's
+``raytraceRay`` trace loop (src/raytraceKernel.cu:123-159 + the TODO at
+:121) as one Mosaic kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_tpu.ops.bounce_pallas import (
+    bounce_physics,
+    hash_uniforms_planes,
+    pack_light_table,
+    pack_material_table,
+    pack_scalars,
+    read_gvals,
+    read_lvals,
+    read_mvals,
+)
+from pathtracer_tpu.ops.intersect import T_MIN
+from pathtracer_tpu.ops.intersect_pallas import LANES, _pack_gdata
+
+TRACE_ROWS = 32  # rows per program: the full bounce loop keeps ~20 state
+# planes live; 32x128 tiles stay well inside VMEM with the physics'
+# intermediates on top
+
+
+def _trace_kernel(
+    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref, nvalid_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, sample_ref,
+    rr_ref, rg_ref, rb_ref, nrays_ref,
+    *,
+    n_geoms: int, n_materials: int, nee: bool, t_min: float,
+    max_depth: int, rr: bool, rr_start: int,
+):
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    sample = sample_ref[:]
+    seed = seed_ref[0]
+
+    gvals = read_gvals(gdata_ref, n_geoms)
+    mvals = read_mvals(mat_ref, n_materials)
+    lvals = read_lvals(ldata_ref, n_geoms)
+    svals = [scal_ref[0], scal_ref[1]]
+
+    shape = o[0].shape
+    throughput = (jnp.ones(shape, jnp.float32),) * 3
+    sigma_a = (jnp.zeros(shape, jnp.float32),) * 3
+    sigma_s = jnp.zeros(shape, jnp.float32)
+    # pad lanes (beyond the true wavefront) start dead: they trace no
+    # rays, contribute no radiance, and never touch the ray counter
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane_idx = (pl.program_id(0) * shape[0] + row_ids) * shape[1] + col_ids
+    alive = lane_idx < nvalid_ref[0]
+    prev_spec = jnp.zeros(shape, bool)
+    radiance = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    nrays = jnp.float32(0.0)
+    ray_mult = 2.0 if nee else 1.0
+
+    for dep in range(max_depth):  # static unroll: the reference's
+        # iterative trace loop (raytraceKernel.cu:121 TODO), all in VMEM
+        depth = jnp.full(shape, dep, jnp.int32)
+        nrays = nrays + jnp.sum(alive.astype(jnp.float32)) * ray_mult
+        u = hash_uniforms_planes(seed, sample, depth, 11)
+        out = bounce_physics(
+            o, d, throughput, sigma_a, sigma_s,
+            gvals, mvals, lvals, svals,
+            u, depth, prev_spec, None, nee=nee, t_min=t_min,
+        )
+        for c in range(3):
+            radiance[c] = radiance[c] + jnp.where(
+                alive, out["contrib"][c], 0.0
+            )
+        new_alive = alive & (~out["terminate"])
+        throughput = tuple(
+            jnp.where(new_alive, t * m, t)
+            for t, m in zip(throughput, out["thr_mult"])
+        )
+        if rr:
+            p = jnp.clip(
+                jnp.maximum(jnp.maximum(throughput[0], throughput[1]), throughput[2]),
+                0.05, 1.0,
+            )
+            rr_active = new_alive & (dep >= rr_start)
+            survive = out["rru"] < p
+            inv_p = 1.0 / p
+            throughput = tuple(
+                jnp.where(rr_active, t * inv_p, t) for t in throughput
+            )
+            new_alive = jnp.where(rr_active, new_alive & survive, new_alive)
+        o = tuple(
+            jnp.where(new_alive, n, prev) for n, prev in zip(out["next_o"], o)
+        )
+        d = tuple(
+            jnp.where(new_alive, n, prev) for n, prev in zip(out["next_d"], d)
+        )
+        alive = new_alive
+        prev_spec = out["wspec"]
+        sigma_a = out["out_ma"]
+        sigma_s = out["out_ms"]
+
+    rr_ref[:], rg_ref[:], rb_ref[:] = radiance
+
+    # measured-ray counter, accumulated across the sequential grid
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        nrays_ref[0, 0] = 0.0
+
+    nrays_ref[0, 0] += nrays
+
+
+def fused_trace_eligible(scene, cfg) -> bool:
+    """Scene/feature scope shared with the fused bounce kernel: analytic
+    geoms only, no image textures, counter-hash RNG, none of the
+    split-path-only features.  (Config knobs — engine choice, debug —
+    are the caller's business.)"""
+    if not cfg.fast_rng:
+        return False
+    if scene.meshes or scene.textures is not None:
+        return False
+    if {"microfacet", "ward", "hg"} & set(cfg.features):
+        return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_geoms", "n_materials", "nee", "max_depth", "rr", "rr_start",
+        "interpret",
+    ),
+)
+def _trace_call(
+    gdata, mdata, ldata, scal, seed,
+    origin, direction, sample_idx,
+    *, n_geoms, n_materials, nee, max_depth, rr, rr_start, interpret,
+):
+    n = origin.shape[0]
+    tile = TRACE_ROWS * LANES
+    npad = -(-n // tile) * tile
+    rows = npad // LANES
+
+    def pad(arr, value=0.0):
+        if npad != n:
+            arr = jnp.pad(
+                arr, [(0, npad - n)] + [(0, 0)] * (arr.ndim - 1),
+                constant_values=value,
+            )
+        if arr.ndim == 1:
+            return [arr.reshape(-1, LANES)]
+        return [arr[:, i].reshape(-1, LANES) for i in range(arr.shape[1])]
+
+    planes = (
+        pad(origin) + pad(direction, value=1.0)
+        + pad(sample_idx.astype(jnp.int32))
+    )
+    nvalid = jnp.asarray([n], jnp.int32)
+    grid = (rows // TRACE_ROWS,)
+    plane = pl.BlockSpec(
+        (TRACE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(
+            _trace_kernel,
+            n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
+            max_depth=max_depth, rr=rr, rr_start=rr_start,
+        ),
+        grid=grid,
+        in_specs=[smem] * 6 + [plane] * 7,
+        out_specs=(
+            plane, plane, plane,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            fshp, fshp, fshp,
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(gdata, mdata, ldata, scal, seed, nvalid, *planes)
+    radiance = jnp.stack(
+        [outs[c].reshape(-1)[:n] for c in range(3)], axis=-1
+    )
+    return radiance, outs[3][0, 0]
+
+
+def trace_fused(scene, rays, sample_idx, base_key, cfg):
+    """Drop-in for render/megakernel.trace_paths on eligible scenes:
+    ``(radiance [N, 3], rays_traced [])`` — the whole bounce loop in one
+    kernel call."""
+    from pathtracer_tpu.ops.rng import key_to_seed
+
+    interpret = jax.default_backend() != "tpu"
+    seed = key_to_seed(base_key).reshape(1)
+    return _trace_call(
+        _pack_gdata(scene.geoms),
+        pack_material_table(scene.materials),
+        pack_light_table(scene.geoms, scene.materials),
+        pack_scalars(scene),
+        seed,
+        rays.origin, rays.direction, sample_idx,
+        n_geoms=scene.geoms.count,
+        n_materials=scene.materials.count,
+        nee=cfg.nee,
+        max_depth=cfg.max_depth,
+        rr=cfg.russian_roulette,
+        rr_start=cfg.rr_start,
+        interpret=interpret,
+    )

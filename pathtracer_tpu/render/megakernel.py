@@ -41,7 +41,42 @@ def trace_paths(
     via the 2x factor when cfg.nee)."""
     n = rays.count
 
-    if cfg.grad_lean:
+    if not cfg.grad_lean and not cfg.debug:
+        # full-depth fused trace (ops/trace_pallas.py): the entire bounce
+        # loop in one pallas_call — bit-identical to the scan below
+        # (same physics fn, RNG, masking; pinned by test_trace_pallas)
+        from pathtracer_tpu.ops.trace_pallas import (
+            fused_trace_eligible,
+            trace_fused,
+        )
+
+        use_pallas = (
+            cfg.pallas
+            if cfg.pallas is not None
+            else jax.default_backend() == "tpu"
+        )
+        want = (
+            cfg.fused
+            if cfg.fused is not None
+            else (use_pallas and jax.default_backend() == "tpu")
+        )
+        if want and use_pallas and fused_trace_eligible(scene, cfg):
+            return trace_fused(scene, rays, sample_idx, base_key, cfg)
+
+    from pathtracer_tpu.render.common import fused_diff_eligible
+
+    if cfg.grad_lean and fused_diff_eligible(scene, cfg):
+        # Fused-diff path: shade_bounce routes to the custom_vjp Pallas
+        # bounce (ops/bounce_grad.py) whose residuals are exactly the
+        # scan carries — no remat wrapper needed (wrapping would force a
+        # redundant forward re-run per bounce; the vjp kernel already
+        # recomputes the bounce internally, in VMEM).
+        def shade(scene, rays, throughput, sample_idx, depth, prev_spec, base_key, medium):
+            return shade_bounce(
+                scene, rays, throughput, sample_idx, depth, prev_spec,
+                base_key, cfg, medium_sigma=medium,
+            )
+    elif cfg.grad_lean:
         # Per-bounce rematerialization (the round-3 fwd+bwd speed work).
         # Without it, jax.vjp of the depth scan stacks EVERY transpose
         # residual per bounce into [depth, N]-shaped HBM arrays and
