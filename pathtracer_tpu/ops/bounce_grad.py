@@ -33,11 +33,12 @@ revisiting the same output block is the canonical reduction); the
 ``custom_vjp`` wrapper routes them back through the differentiable
 ``pack_*`` table builders to ``SceneParams`` leaves.
 
-Scope: analytic scenes (no triangle meshes), no image-texture atlas, no
-Cook-Torrance/Ward/HG — exactly the fused forward kernel's own scope.
-Reference: this is the backward of the completed trace kernel
-(``src/raytraceKernel.cu:123-159``), which the reference cannot
-differentiate at all.
+Scope: analytic scenes (no triangle meshes), no image-texture atlas;
+Cook-Torrance/Ward lobes differentiate in-kernel via the shared physics'
+feature gates, HG phase keeps the lean backward (its wide medium state
+is not plumbed through the custom_vjp yet).  Reference: this is the
+backward of the completed trace kernel (``src/raytraceKernel.cu:123-159``),
+which the reference cannot differentiate at all.
 """
 
 from __future__ import annotations
@@ -87,7 +88,8 @@ def _pad_to_planes(arr, npad, pad_value=0.0):
 
 
 def _bounce_bwd_kernel(
-    *refs, n_geoms: int, n_materials: int, nee: bool, t_min: float
+    *refs, n_geoms: int, n_materials: int, nee: bool, t_min: float,
+    features: frozenset = frozenset(),
 ):
     gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
     (
@@ -132,6 +134,7 @@ def _bounce_bwd_kernel(
         out = bounce_physics(
             o, d, thr, sa, ss, gvals, mvals, lvals, svals,
             u, depth, prev_spec, None, nee=nee, t_min=t_min,
+            features=features,
         )
         return (
             out["contrib"], out["next_o"], out["next_d"], out["thr_mult"],
@@ -191,7 +194,7 @@ def _fused_fwd_call(
     gdata, mdata, ldata, scal, seed,
     origin, direction, throughput, med4,
     sample_idx, depth_arr, prev_specular,
-    *, n_geoms, n_materials, nee, interpret,
+    *, n_geoms, n_materials, nee, features, interpret,
 ):
     """Non-mesh forward pallas_call of ``_bounce_kernel`` -> tuple of [N]
     arrays ``(contrib, next_o, next_d, thr_mult, next_med4, term, wspec,
@@ -215,7 +218,7 @@ def _fused_fwd_call(
         functools.partial(
             _bounce_kernel,
             n_geoms=n_geoms, n_materials=n_materials,
-            nee=nee, t_min=T_MIN, mesh_merge=False,
+            nee=nee, t_min=T_MIN, mesh_merge=False, features=features,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * 16,
@@ -247,7 +250,7 @@ def _fused_bwd_call(
     origin, direction, throughput, med4,
     sample_idx, depth_arr, prev_specular,
     g_contrib, g_next_o, g_next_d, g_thr_mult, g_med4,
-    *, n_geoms, n_materials, nee, interpret,
+    *, n_geoms, n_materials, nee, features, interpret,
 ):
     """Backward pallas_call -> ``(d_gdata, d_mdata, d_ldata, d_scal, d_o,
     d_d, d_thr, d_med4)``."""
@@ -280,6 +283,7 @@ def _fused_bwd_call(
         functools.partial(
             _bounce_bwd_kernel,
             n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
+            features=features,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * 32,
@@ -345,13 +349,16 @@ def bounce_fused_diff(
     depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
     med4 = medium_sigma[:, :4]
 
+    features = frozenset(cfg.features)
+    assert "hg" not in features, "fused backward: HG excluded by eligibility"
+
     @jax.custom_vjp
     def inner(gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed):
         return _fused_fwd_call(
             gdata, mdata, ldata, scal, seed, o, d, thr, med4,
             sample_idx, depth_arr, pspec,
             n_geoms=n_geoms, n_materials=n_materials,
-            nee=cfg.nee, interpret=interpret,
+            nee=cfg.nee, features=features, interpret=interpret,
         )
 
     def inner_fwd(gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed):
@@ -373,7 +380,7 @@ def bounce_fused_diff(
             sample_idx, depth_arr, pspec,
             g_contrib, g_no, g_nd, g_tm, g_med,
             n_geoms=n_geoms, n_materials=n_materials,
-            nee=cfg.nee, interpret=interpret,
+            nee=cfg.nee, features=features, interpret=interpret,
         )
         return (
             d_gdata, d_mdata, d_ldata, d_scal,

@@ -131,11 +131,13 @@ def hash_uniforms_planes(seed_u32, sample_i32, depth_i32, n: int):
 # SMEM table packing
 # ---------------------------------------------------------------------------
 
-MAT_FIELDS = 23  # matches ops.bsdf.gather_materials column layout
+MAT_FIELDS = 28  # matches ops.bsdf.gather_materials column layout exactly
 
 
 def pack_material_table(materials) -> jax.Array:
-    """[M, 23] fp32 — same column layout as gather_materials."""
+    """[M, 28] fp32 — the same column layout as gather_materials
+    (ops/bsdf.py), including the Cook-Torrance/Ward/HG and atlas-slot
+    columns."""
     m = materials
     return jnp.concatenate(
         [
@@ -146,6 +148,9 @@ def pack_material_table(materials) -> jax.Array:
             m.has_scatter[:, None], m.reduced_scatter_coefficient[:, None],
             m.texture_type[:, None], m.texture_scale[:, None],
             m.texture_color2, m.bump_scale[:, None], m.bump_amp[:, None],
+            m.texture_image[:, None], m.brdf_model[:, None],
+            m.roughness[:, None], m.roughness_y[:, None],
+            m.phase_g[:, None],
         ],
         axis=-1,
     )
@@ -209,6 +214,11 @@ def _material_fetch(mvals, mid):
         texture_color2=(cols[18], cols[19], cols[20]),
         bump_scale=cols[21],
         bump_amp=cols[22],
+        texture_image=cols[23],
+        brdf_model=cols[24],
+        roughness=cols[25],
+        roughness_y=cols[26],
+        phase_g=cols[27],
     )
 
 
@@ -250,8 +260,74 @@ def _rotate_about(axis_dir, cos_angle, phi):
     )
 
 
-def _sample_bsdf_planes(mat, p, n_raw, d_in, u0, u1, u2):
-    """Plane transcription of ops.bsdf.sample_bsdf."""
+def _ggx_planes(mat, n, d_in, cos_i, u0, u1):
+    """Plane transcription of ops.bsdf.ggx_sample (Cook-Torrance GGX)."""
+    alpha = jnp.clip(mat["roughness"] * mat["roughness"], 1e-4, 1.0)
+    a2 = alpha * alpha
+    xi1 = jnp.clip(u0, 1e-7, 1.0 - 1e-7)
+    cos_h = jnp.sqrt(jnp.clip((1.0 - xi1) / (1.0 + (a2 - 1.0) * xi1), 0.0, 1.0))
+    h = _rotate_about(n, cos_h, u1 * TWO_PI)
+    d = vsub(d_in, vscale(2.0 * vdot(d_in, h), h))
+    wo_dot_h = -vdot(d_in, h)
+    cos_o = vdot(d, n)
+    valid = (cos_o > 0.0) & (wo_dot_h > 0.0)
+
+    def g1(c):
+        c = jnp.clip(c, 1e-6, 1.0)
+        return 2.0 * c / (c + jnp.sqrt(a2 + (1.0 - a2) * c * c))
+
+    g = g1(jnp.clip(cos_i, 1e-6, 1.0)) * g1(cos_o)
+    spec = mat["spec_color"]
+    f5 = jnp.clip(1.0 - wo_dot_h, 0.0, None) ** 5
+    f = (
+        spec[0] + (1.0 - spec[0]) * f5,
+        spec[1] + (1.0 - spec[1]) * f5,
+        spec[2] + (1.0 - spec[2]) * f5,
+    )
+    w = g * wo_dot_h / jnp.maximum(jnp.clip(cos_i, 1e-6, 1.0) * cos_h, 1e-6)
+    weight = vwhere(valid, vscale(w, f), (0.0 * w,) * 3)
+    return d, weight
+
+
+def _ward_planes(mat, n, d_in, cos_i, u0, u1):
+    """Plane transcription of ops.bsdf.ward_sample (Walter 2005)."""
+    ax_ = jnp.clip(mat["roughness"], 1e-3, 1.0)
+    ay_ = jnp.clip(
+        jnp.where(mat["roughness_y"] > 0.0, mat["roughness_y"], mat["roughness"]),
+        1e-3, 1.0,
+    )
+    xi1 = jnp.clip(u0, 1e-7, 1.0 - 1e-7)
+    beta = TWO_PI * u1
+    cb, sb = jnp.cos(beta), jnp.sin(beta)
+    d_inv = ax_ * ax_ * cb * cb + ay_ * ay_ * sb * sb
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(d_inv, 1e-12))
+    cos_phi = ax_ * cb * inv_len
+    sin_phi = ay_ * sb * inv_len
+    tan2 = -jnp.log(xi1) * d_inv
+    cos_th = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_th = jnp.sqrt(jnp.clip(1.0 - cos_th * cos_th, 0.0, None))
+    t1, t2 = _not_axis_frame(n)
+    h = vadd(
+        vscale(cos_th, n),
+        vadd(vscale(sin_th * cos_phi, t1), vscale(sin_th * sin_phi, t2)),
+    )
+    d = vsub(d_in, vscale(2.0 * vdot(d_in, h), h))
+    wi_dot_h = -vdot(d_in, h)
+    cos_o = vdot(d, n)
+    valid = (cos_o > 0.0) & (wi_dot_h > 0.0)
+    w = (
+        wi_dot_h
+        * cos_th**3
+        * jnp.sqrt(jnp.clip(cos_o, 0.0, None) / jnp.clip(cos_i, 1e-6, 1.0))
+    )
+    weight = vwhere(valid, vscale(w, mat["spec_color"]), (0.0 * w,) * 3)
+    return d, weight
+
+
+def _sample_bsdf_planes(mat, p, n_raw, d_in, u0, u1, u2, features=frozenset()):
+    """Plane transcription of ops.bsdf.sample_bsdf.  ``features`` is the
+    static RenderConfig.features gate: the Cook-Torrance/Ward lobes only
+    enter the graph when enabled (same contract as the split path)."""
     cos_raw = vdot(d_in, n_raw)
     entering = cos_raw < 0.0
     n = vwhere(entering, n_raw, vscale(jnp.float32(-1.0), n_raw))
@@ -295,8 +371,20 @@ def _sample_bsdf_planes(mat, p, n_raw, d_in, u0, u1, u2):
 
     is_refractive = mat["has_refractive"] > 0.0
     is_reflective = (~is_refractive) & (mat["has_reflective"] > 0.0)
-    is_glossy = is_reflective & (mat["spec_exp"] > 0.0)
-    is_mirror = is_reflective & (~is_glossy)
+    if "microfacet" in features:
+        # microfacet family: 1 = Cook-Torrance GGX, 2 = Ward anisotropic
+        # — both ride the is_ct lane (ops/bsdf.sample_bsdf lobe order)
+        is_ct = is_reflective & (mat["brdf_model"] > 0.5)
+        d_ct, ct_weight = _ggx_planes(mat, n, d_in, cos_i, u0, u1)
+        if "ward" in features:
+            is_ward = mat["brdf_model"] > 1.5
+            d_wd, wd_weight = _ward_planes(mat, n, d_in, cos_i, u0, u1)
+            d_ct = vwhere(is_ward, d_wd, d_ct)
+            ct_weight = vwhere(is_ward, wd_weight, ct_weight)
+    else:
+        is_ct = jnp.zeros(cos_i.shape, bool)
+    is_glossy = is_reflective & (mat["spec_exp"] > 0.0) & (~is_ct)
+    is_mirror = is_reflective & (~is_glossy) & (~is_ct)
     is_specular = is_refractive | is_reflective
 
     direction = vwhere(
@@ -304,8 +392,14 @@ def _sample_bsdf_planes(mat, p, n_raw, d_in, u0, u1, u2):
         d_dielectric,
         vwhere(is_glossy, d_glossy, vwhere(is_mirror, d_mirror, d_diffuse)),
     )
+    if "microfacet" in features:
+        direction = vwhere(
+            is_refractive, d_dielectric, vwhere(is_ct, d_ct, direction)
+        )
     thr = vwhere(is_specular, mat["spec_color"], mat["color"])
     thr = vwhere(is_glossy, vscale(glossy_weight, thr), thr)
+    if "microfacet" in features:
+        thr = vwhere(is_ct, ct_weight, thr)
     transmitted = is_refractive & (~choose_reflect) & refr_valid
     bias = jnp.where(transmitted, -RAY_BIAS, RAY_BIAS)
     origin = vadd(p, vscale(bias, n))
@@ -407,7 +501,9 @@ def bounce_physics(
     gvals, mvals, lvals, svals,
     u, depth, prev_spec,
     mesh_in=None,
-    *, nee: bool, t_min: float,
+    medium_g=None,
+    *, nee: bool, t_min: float, features: frozenset = frozenset(),
+    tex_defer: bool = False,
 ):
     """The ENTIRE per-bounce physics as a pure function of component
     planes and table scalar values — render/common.py's shade_bounce
@@ -424,10 +520,17 @@ def bounce_physics(
     winning geom only — exactly the gradient-lean semantics of
     ops/intersect.intersect_scene_lean.
 
+    ``features`` is the static RenderConfig.features gate: the
+    Cook-Torrance/Ward lobes ("microfacet"/"ward") and the
+    Henyey-Greenstein phase ("hg") only enter the graph when listed —
+    the same contract as the split path's sample_bsdf flags.  With "hg",
+    pass ``medium_g`` (the carried phase-g plane); the result then also
+    has ``out_mg``.
+
     Returns a dict: contrib(3), next_o(3), next_d(3), thr_mult(3),
-    terminate, wspec (bools), rru, out_ma(3), out_ms, and — when
-    ``mesh_in`` is given under NEE — ``nee_deferred`` (the shadow ray +
-    pending NEE term for the wrapper's triangle-occlusion test)."""
+    terminate, wspec (bools), rru, out_ma(3), out_ms [, out_mg], and —
+    when ``mesh_in`` is given under NEE — ``nee_deferred`` (the shadow
+    ray + pending NEE term for the wrapper's triangle-occlusion test)."""
     n_geoms = len(gvals)
     mesh_merge = mesh_in is not None
 
@@ -493,7 +596,12 @@ def bounce_physics(
     mat = _material_fetch(mvals, mid)
     emissive = mat["emittance"] > 0.0
 
-    # ---- procedural texture (render/common.py texture block)
+    # ---- procedural texture (render/common.py texture block).  The
+    # < 2.5 bound excludes image-textured materials (type 3), whose
+    # albedo modulation is DEFERRED to the wrapper (tex_defer): albedo
+    # enters contrib and the diffuse throughput strictly linearly, so
+    # the wrapper can multiply the bilinear atlas texel in afterwards —
+    # the atlas gather stays outside the kernel.
     cells = (
         jnp.floor(p_obj[0] * mat["texture_scale"]),
         jnp.floor(p_obj[1] * mat["texture_scale"]),
@@ -502,8 +610,57 @@ def bounce_physics(
     checker = jnp.mod(cells[0] + cells[1] + cells[2], 2.0)
     stripes = jnp.mod(cells[0], 2.0)
     pattern = jnp.where(mat["texture_type"] > 1.5, stripes, checker)
-    textured = (mat["texture_type"] > 0.5) & (pattern > 0.5)
+    textured = (
+        (mat["texture_type"] > 0.5)
+        & (mat["texture_type"] < 2.5)
+        & (pattern > 0.5)
+    )
     mat["color"] = vwhere(textured, mat["texture_color2"], mat["color"])
+
+    tex_out = None
+    if tex_defer:
+        # ---- UV for the deferred image-texture fetch (ops/texture.py
+        # compute_uv, on planes).  Sphere: longitude/latitude of the
+        # r=0.5 object point; cube: face-local planar map (dominant
+        # |p_obj| axis); mesh: box map (dominant |n_obj| axis, with the
+        # object normal recovered as M^T n_world via the winner's
+        # FORWARD transform rows, which ride in the light table).
+        u_sph = jnp.arctan2(p_obj[2], p_obj[0]) * (1.0 / TWO_PI) + 0.5
+        v_sph = (
+            jnp.arcsin(jnp.clip(p_obj[1] * 2.0, -1.0, 1.0)) * INV_PI + 0.5
+        )
+        if mesh_merge:
+            fwd = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(12)]
+            for g in range(n_geoms):
+                selg = gid == g
+                for k in range(12):
+                    fwd[k] = jnp.where(selg, lvals[g][k], fwd[k])
+            # n_obj = M^T n_world (rows of the forward transform)
+            ntx = fwd[0] * normal[0] + fwd[4] * normal[1] + fwd[8] * normal[2]
+            nty = fwd[1] * normal[0] + fwd[5] * normal[1] + fwd[9] * normal[2]
+            ntz = fwd[2] * normal[0] + fwd[6] * normal[1] + fwd[10] * normal[2]
+            sel_src = vwhere(mb, (jnp.abs(ntx), jnp.abs(nty), jnp.abs(ntz)),
+                             (jnp.abs(p_obj[0]), jnp.abs(p_obj[1]), jnp.abs(p_obj[2])))
+        else:
+            sel_src = (jnp.abs(p_obj[0]), jnp.abs(p_obj[1]), jnp.abs(p_obj[2]))
+        ax0 = (sel_src[0] >= sel_src[1]) & (sel_src[0] >= sel_src[2])
+        ax1 = (~ax0) & (sel_src[1] >= sel_src[2])
+        ax2 = (~ax0) & (~ax1)
+        u_box = jnp.where(ax0, p_obj[2], p_obj[0]) + 0.5
+        v_box = jnp.where(ax2, p_obj[1], jnp.where(ax0, p_obj[1], p_obj[2])) + 0.5
+        uv_u = jnp.where(sph, u_sph, u_box)
+        uv_v = jnp.where(sph, v_sph, v_box)
+        if mesh_merge and mesh_in.get("muvv") is not None:
+            # authored OBJ vt coordinates win on mesh lanes that have them
+            use_auth = mb & (mesh_in["muvv"] > 0.5)
+            uv_u = jnp.where(use_auth, mesh_in["muv_u"], uv_u)
+            uv_v = jnp.where(use_auth, mesh_in["muv_v"], uv_v)
+        is_img = (mat["texture_type"] > 2.5) & hit
+        tex_out = dict(
+            u=uv_u * mat["texture_scale"],
+            v=uv_v * mat["texture_scale"],
+            slot=jnp.where(is_img, mat["texture_image"], -1.0),
+        )
 
     # ---- procedural bump (render/common.py bump block)
     bump_on = mat["bump_scale"] > 0.0
@@ -547,7 +704,9 @@ def bounce_physics(
     contrib = vwhere(emit_mask, emitted, zero3)
 
     # ---- BSDF continuation
-    sc = _sample_bsdf_planes(mat, p, normal, d, u[0], u[1], u[2])
+    sc = _sample_bsdf_planes(
+        mat, p, normal, d, u[0], u[1], u[2], features=features
+    )
 
     # ---- NEE
     nee_deferred = None
@@ -633,6 +792,28 @@ def bounce_physics(
     vr = jnp.sqrt(jnp.clip(1.0 - vz * vz, 0.0, None))
     vphi = TWO_PI * u[10]
     vol_dir = (vr * jnp.cos(vphi), vr * jnp.sin(vphi), vz)
+    if "hg" in features:
+        # Henyey-Greenstein phase about the propagation direction
+        # (ops/bsdf.henyey_greenstein), selected PER LANE against the
+        # uniform-sphere sample so g == 0 lanes stay bit-exact with the
+        # feature off (render/common.py; ADVICE r3)
+        g_c = jnp.clip(medium_g, -0.999, 0.999)
+        near0 = jnp.abs(g_c) < 1e-3
+        safe_g = jnp.where(near0, 1.0, g_c)
+        frac = (1.0 - g_c * g_c) / (1.0 - g_c + 2.0 * g_c * u[9])
+        cos_hg = (1.0 + g_c * g_c - frac * frac) / (2.0 * safe_g)
+        cos_t = jnp.clip(jnp.where(near0, 1.0 - 2.0 * u[9], cos_hg), -1.0, 1.0)
+        sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, None))
+        hg_phi = TWO_PI * u[10]
+        t1h, t2h = _not_axis_frame(d)
+        hg_dir = vadd(
+            vscale(cos_t, d),
+            vadd(
+                vscale(sin_t * jnp.cos(hg_phi), t1h),
+                vscale(sin_t * jnp.sin(hg_phi), t2h),
+            ),
+        )
+        vol_dir = vwhere(medium_g != 0.0, hg_dir, vol_dir)
 
     terminate = (~hit) | (emissive & (~vol_scatter))
     surf_a = vwhere(
@@ -652,7 +833,7 @@ def bounce_physics(
     out_ma = vwhere(vol_scatter, sigma_a, surf_a)
     out_ms = jnp.where(vol_scatter, sigma_s, surf_s)
 
-    return dict(
+    out = dict(
         contrib=contrib,
         next_o=next_o,
         next_d=next_d,
@@ -663,7 +844,19 @@ def bounce_physics(
         out_ma=out_ma,
         out_ms=out_ms,
         nee_deferred=nee_deferred,
+        tex_out=tex_out,
     )
+    if medium_g is not None:
+        # the carried HG g: entering a SCATTER medium adopts the
+        # material's PHASE g, exiting resets, in-medium scatter keeps it
+        # (render/common.py surf_medium tail)
+        surf_g = jnp.where(
+            sc["transmitted"],
+            jnp.where(sc["entering"], mat["phase_g"], 0.0),
+            medium_g,
+        )
+        out["out_mg"] = jnp.where(vol_scatter, medium_g, surf_g)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -673,10 +866,13 @@ def bounce_physics(
 def _bounce_kernel(
     *refs,
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
-    mesh_merge: bool = False,
+    mesh_merge: bool = False, features: frozenset = frozenset(),
+    tex_defer: bool = False, mesh_uv: bool = False,
 ):
     # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
-    # under NEE, 11 output planes — see bounce_fused)
+    # under NEE, 11 output planes; "hg" adds a medium-g input and output
+    # plane — see bounce_fused)
+    hg = "hg" in features
     gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
     (
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -685,6 +881,10 @@ def _bounce_kernel(
         mar_ref, mag_ref, mab_ref, ms_ref,
     ) = refs[5:21]
     i = 21
+    mg_ref = None
+    if hg:
+        mg_ref = refs[i]
+        i += 1
     mesh_in = None
     if mesh_merge:
         (
@@ -698,6 +898,12 @@ def _bounce_kernel(
             en=(enx_ref[:], eny_ref[:], enz_ref[:]),
             emid=emid_ref[:],
         )
+        if mesh_uv:
+            muvu_ref, muvv_ref, muvf_ref = refs[i : i + 3]
+            i += 3
+            mesh_in["muv_u"] = muvu_ref[:]
+            mesh_in["muv_v"] = muvv_ref[:]
+            mesh_in["muvv"] = muvf_ref[:]
     (
         cr_ref, cg_ref, cb_ref,
         nox_ref, noy_ref, noz_ref,
@@ -707,6 +913,14 @@ def _bounce_kernel(
         omr_ref, omg_ref, omb_ref, oms_ref,
     ) = refs[i : i + 19]
     i += 19
+    omg_g_ref = None
+    if hg:
+        omg_g_ref = refs[i]
+        i += 1
+    tex_refs = None
+    if tex_defer:
+        tex_refs = refs[i : i + 3]
+        i += 3
     if mesh_merge and nee:
         (
             shx_ref, shy_ref, shz_ref,
@@ -733,7 +947,8 @@ def _bounce_kernel(
         read_lvals(ldata_ref, n_geoms),
         [scal_ref[0], scal_ref[1]],
         u, depth, prev_spec, mesh_in,
-        nee=nee, t_min=t_min,
+        medium_g=(mg_ref[:] if hg else None),
+        nee=nee, t_min=t_min, features=features, tex_defer=tex_defer,
     )
 
     cr_ref[:], cg_ref[:], cb_ref[:] = out["contrib"]
@@ -746,6 +961,12 @@ def _bounce_kernel(
     rru_ref[:] = out["rru"]
     omr_ref[:], omg_ref[:], omb_ref[:] = out["out_ma"]
     oms_ref[:] = out["out_ms"]
+    if hg:
+        omg_g_ref[:] = out["out_mg"]
+    if tex_defer:
+        tex_refs[0][:] = out["tex_out"]["u"]
+        tex_refs[1][:] = out["tex_out"]["v"]
+        tex_refs[2][:] = out["tex_out"]["slot"]
     if mesh_merge and nee:
         nd = out["nee_deferred"]
         shx_ref[:], shy_ref[:], shz_ref[:] = nd["x"]
@@ -793,6 +1014,8 @@ def bounce_fused(
     npad = -(-n // tile) * tile
     rows = npad // LANES
     mesh_merge = bool(scene.meshes)
+    features = frozenset(cfg.features)
+    hg = "hg" in features
 
     depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
     planes = (
@@ -802,20 +1025,36 @@ def bounce_fused(
         + _to_planes(sample_idx.astype(jnp.int32), npad)
         + _to_planes(depth_arr, npad)
         + _to_planes(prev_specular.astype(jnp.float32), npad)
-        # the kernel models the isotropic phase only; callers gate fused
-        # off for scenes with a PHASE (HG) material, so when handed the
-        # wide [N, 5] medium state its g channel is identically zero —
-        # slice it off going in, re-append zeros coming out
         + _to_planes(medium_sigma[:, :4], npad)
     )
     wide_medium = medium_sigma.shape[1] > 4
+    if hg:
+        # the carried HG phase-g rides as its own plane; the kernel
+        # samples the Henyey-Greenstein direction in-plane (ADVICE r3:
+        # the g channel is propagated, not zeroed)
+        g_col = (
+            medium_sigma[:, 4]
+            if wide_medium
+            else jnp.zeros((n,), medium_sigma.dtype)
+        )
+        planes += _to_planes(g_col, npad)
     if mesh_merge:
         from pathtracer_tpu.ops.intersect import mesh_only_hit
 
-        et, epobj, enrm, emid, _ = mesh_only_hit(
-            Rays(origin=origin, direction=direction),
-            scene.geoms, scene.meshes, T_MIN,
-        )
+        any_attrs = any(m.has_attrs for m in scene.meshes)
+        if any_attrs:
+            # authored vn smooth normals ride the merge planes; authored
+            # vt UVs only matter for image-texture scenes, which the
+            # kernel doesn't cover (the caller gates those off)
+            et, epobj, enrm, emid, _, _uv, _uvv = mesh_only_hit(
+                Rays(origin=origin, direction=direction),
+                scene.geoms, scene.meshes, T_MIN, with_attrs=True,
+            )
+        else:
+            et, epobj, enrm, emid, _ = mesh_only_hit(
+                Rays(origin=origin, direction=direction),
+                scene.geoms, scene.meshes, T_MIN,
+            )
         planes += (
             _to_planes(et, npad)
             + _to_planes(epobj, npad)
@@ -834,8 +1073,8 @@ def bounce_fused(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
-    n_in = 16 + (8 if mesh_merge else 0)
-    n_out = 19 + (11 if (mesh_merge and cfg.nee) else 0)
+    n_in = 16 + (1 if hg else 0) + (8 if mesh_merge else 0)
+    n_out = 19 + (1 if hg else 0) + (11 if (mesh_merge and cfg.nee) else 0)
     outs = pl.pallas_call(
         functools.partial(
             _bounce_kernel,
@@ -844,6 +1083,7 @@ def bounce_fused(
             nee=cfg.nee,
             t_min=T_MIN,
             mesh_merge=mesh_merge,
+            features=features,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * n_in,
@@ -858,23 +1098,32 @@ def bounce_fused(
     def unp3(i):
         return jnp.stack([unp(i), unp(i + 1), unp(i + 2)], axis=-1)
 
+    base = 19 + (1 if hg else 0)  # first mesh-NEE deferral output
     contrib = unp3(0)
     if mesh_merge and cfg.nee:
         # resolve the deferred NEE term: triangle occlusion of the
         # in-kernel shadow ray (exact split — see the kernel comment)
         from pathtracer_tpu.ops.intersect import mesh_only_occlusion
 
-        sh_o = unp3(19)
-        sh_d = unp3(22)
-        dist = unp(25)
-        nee_rgb = unp3(26)
-        cand_vis = unp(29) > 0.5
+        sh_o = unp3(base)
+        sh_d = unp3(base + 3)
+        dist = unp(base + 6)
+        nee_rgb = unp3(base + 7)
+        cand_vis = unp(base + 10) > 0.5
         occ = mesh_only_occlusion(
             Rays(origin=sh_o, direction=sh_d), scene.geoms, scene.meshes, T_MIN
         )
         visible = cand_vis & (occ >= dist - 4.0 * RAY_BIAS)
         contrib = contrib + jnp.where(visible[:, None], nee_rgb, 0.0)
 
+    if hg:
+        med_cols = [unp3(15), unp(18)[:, None], unp(19)[:, None]]
+        if not wide_medium:
+            med_cols = med_cols[:2]  # caller carries a narrow state
+    else:
+        med_cols = [unp3(15), unp(18)[:, None]] + (
+            [jnp.zeros((n, 1), jnp.float32)] if wide_medium else []
+        )
     return BounceResult(
         contrib=contrib,
         next_origin=unp3(3),
@@ -883,9 +1132,5 @@ def bounce_fused(
         terminate=unp(12) > 0.5,
         was_specular=unp(13) > 0.5,
         rr_uniform=unp(14),
-        next_medium=jnp.concatenate(
-            [unp3(15), unp(18)[:, None]]
-            + ([jnp.zeros((n, 1), jnp.float32)] if wide_medium else []),
-            axis=-1,
-        ),
+        next_medium=jnp.concatenate(med_cols, axis=-1),
     )

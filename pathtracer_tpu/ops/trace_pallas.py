@@ -58,6 +58,7 @@ def _trace_kernel(
     *,
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
     max_depth: int, rr: bool, rr_start: int,
+    features: frozenset = frozenset(),
 ):
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -69,10 +70,15 @@ def _trace_kernel(
     lvals = read_lvals(ldata_ref, n_geoms)
     svals = [scal_ref[0], scal_ref[1]]
 
+    hg = "hg" in features
     shape = o[0].shape
     throughput = (jnp.ones(shape, jnp.float32),) * 3
     sigma_a = (jnp.zeros(shape, jnp.float32),) * 3
     sigma_s = jnp.zeros(shape, jnp.float32)
+    # HG phase-g is pure internal state here: the loop never leaves the
+    # kernel, so the wide-medium plane cost the split path pays per
+    # bounce is free (ADVICE r3 closed for this engine)
+    medium_g = jnp.zeros(shape, jnp.float32) if hg else None
     # pad lanes (beyond the true wavefront) start dead: they trace no
     # rays, contribute no radiance, and never touch the ray counter
     row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -92,7 +98,8 @@ def _trace_kernel(
         out = bounce_physics(
             o, d, throughput, sigma_a, sigma_s,
             gvals, mvals, lvals, svals,
-            u, depth, prev_spec, None, nee=nee, t_min=t_min,
+            u, depth, prev_spec, None, medium_g=medium_g,
+            nee=nee, t_min=t_min, features=features,
         )
         for c in range(3):
             radiance[c] = radiance[c] + jnp.where(
@@ -125,6 +132,8 @@ def _trace_kernel(
         prev_spec = out["wspec"]
         sigma_a = out["out_ma"]
         sigma_s = out["out_ms"]
+        if hg:
+            medium_g = out["out_mg"]
 
     rr_ref[:], rg_ref[:], rb_ref[:] = radiance
 
@@ -137,15 +146,16 @@ def _trace_kernel(
 
 
 def fused_trace_eligible(scene, cfg) -> bool:
-    """Scene/feature scope shared with the fused bounce kernel: analytic
-    geoms only, no image textures, counter-hash RNG, none of the
-    split-path-only features.  (Config knobs — engine choice, debug —
-    are the caller's business.)"""
+    """Scene scope of the one-kernel trace: analytic geoms only (the
+    mesh classes need the per-bounce mesh-merge path) and no image
+    textures (atlas gathers stay outside kernels), with the counter-hash
+    RNG.  Every material feature — procedural textures, bump,
+    volumetrics, glossy, Cook-Torrance, Ward, Henyey-Greenstein — is
+    modeled in-kernel.  (Config knobs — engine choice, debug — are the
+    caller's business.)"""
     if not cfg.fast_rng:
         return False
     if scene.meshes or scene.textures is not None:
-        return False
-    if {"microfacet", "ward", "hg"} & set(cfg.features):
         return False
     return True
 
@@ -154,13 +164,14 @@ def fused_trace_eligible(scene, cfg) -> bool:
     jax.jit,
     static_argnames=(
         "n_geoms", "n_materials", "nee", "max_depth", "rr", "rr_start",
-        "interpret",
+        "features", "interpret",
     ),
 )
 def _trace_call(
     gdata, mdata, ldata, scal, seed,
     origin, direction, sample_idx,
-    *, n_geoms, n_materials, nee, max_depth, rr, rr_start, interpret,
+    *, n_geoms, n_materials, nee, max_depth, rr, rr_start, features,
+    interpret,
 ):
     n = origin.shape[0]
     tile = TRACE_ROWS * LANES
@@ -193,6 +204,7 @@ def _trace_call(
             _trace_kernel,
             n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
             max_depth=max_depth, rr=rr, rr_start=rr_start,
+            features=features,
         ),
         grid=grid,
         in_specs=[smem] * 6 + [plane] * 7,
@@ -233,5 +245,6 @@ def trace_fused(scene, rays, sample_idx, base_key, cfg):
         max_depth=cfg.max_depth,
         rr=cfg.russian_roulette,
         rr_start=cfg.rr_start,
+        features=frozenset(cfg.features),
         interpret=interpret,
     )

@@ -82,7 +82,9 @@ def fused_diff_eligible(scene: Scene, cfg: RenderConfig) -> bool:
         return False
     if scene.meshes or scene.textures is not None:
         return False
-    if {"microfacet", "ward", "hg"} & set(cfg.features):
+    if "hg" in cfg.features:
+        # the wide (5-col) medium state is not plumbed through the
+        # backward kernel's custom_vjp yet; HG scenes keep the lean bwd
         return False
     if cfg.grad_fused:  # explicit opt-in (tests run it interpreted on CPU)
         return True
@@ -120,29 +122,26 @@ def shade_bounce(
     if cfg.grad_lean:
         use_fused = False  # the fused kernel has no gradient path
     elif use_fused is None:
+        # authored mesh attrs are fine fused (smooth normals ride the
+        # merge planes) UNLESS the scene also has image textures, whose
+        # sampling needs the authored UVs on the split path
+        attrs_block = mesh_attrs and scene.textures is not None
         use_fused = (
             use_pallas
             and scene.textures is None
-            and "microfacet" not in cfg.features
-            and "hg" not in cfg.features
             and cfg.fast_rng
-            and not mesh_attrs
+            and not attrs_block
         )
         if use_pallas and not use_fused:
             # the auto path is declining a scene-author-controlled fast
             # path — say so once, instead of a silent perf cliff for
-            # textured / Cook-Torrance scenes (VERDICT r2 weak #4)
+            # textured scenes (VERDICT r2 weak #4).  (Cook-Torrance /
+            # Ward / HG run fused since r4.)
             reasons = []
             if scene.textures is not None:
                 reasons.append("scene has image textures")
-            if "microfacet" in cfg.features:
-                reasons.append("Cook-Torrance materials enabled")
-            if "hg" in cfg.features:
-                reasons.append("anisotropic (PHASE) scattering enabled")
             if not cfg.fast_rng:
                 reasons.append("fast_rng=False")
-            if mesh_attrs:
-                reasons.append("mesh has authored UVs/normals")
             import warnings
 
             warnings.warn(
@@ -153,21 +152,15 @@ def shade_bounce(
             )
     elif use_fused:
         # explicit opt-in must still satisfy the kernel's preconditions:
-        # bounce_fused has no image-texture atlas or Cook-Torrance lobe
-        # and hardwires the counter-hash RNG — honoring fused=True here
-        # would silently change the image or swap the sample set
-        # (ADVICE r1).  Fall back loudly.
+        # bounce_fused has no image-texture atlas and hardwires the
+        # counter-hash RNG — honoring fused=True here would silently
+        # change the image or swap the sample set (ADVICE r1).  Fall
+        # back loudly.
         unsupported = []
         if scene.textures is not None:
             unsupported.append("scene has image textures")
-        if "microfacet" in cfg.features:
-            unsupported.append("Cook-Torrance materials enabled")
-        if "hg" in cfg.features:
-            unsupported.append("anisotropic (PHASE) scattering enabled")
         if not cfg.fast_rng:
             unsupported.append("fast_rng=False")
-        if mesh_attrs:
-            unsupported.append("mesh has authored UVs/normals")
         if unsupported:
             import warnings
 

@@ -199,8 +199,12 @@ def test_fused_diff_eligibility(cornell):
     assert fused_diff_eligible(scene, on)
     assert not fused_diff_eligible(scene, dataclasses.replace(on, grad_fused=False))
     assert not fused_diff_eligible(scene, dataclasses.replace(on, fast_rng=False))
+    # r4: Cook-Torrance/Ward differentiate in-kernel; HG still lean
+    assert fused_diff_eligible(
+        scene, dataclasses.replace(on, features=("microfacet", "ward"))
+    )
     assert not fused_diff_eligible(
-        scene, dataclasses.replace(on, features=("microfacet",))
+        scene, dataclasses.replace(on, features=("hg",))
     )
     # CPU + auto (None) stays off: interpret-mode kernels are for tests only
     auto = RenderConfig()

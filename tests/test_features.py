@@ -154,14 +154,34 @@ def test_motion_path_resolves_features(ct_desc):
     assert np.abs(a_auto - a_pin).mean() > 1e-4
 
 
-def test_auto_fused_decline_warns(ct_desc):
-    """When pallas is active but the fused megakernel can't run (here:
-    Cook-Torrance materials), the auto path must say so."""
+def test_auto_fused_decline_warns():
+    """When pallas is active but the fused megakernel can't run (here: an
+    image-texture atlas — since r4 Cook-Torrance/Ward/HG DO run fused),
+    the auto path must say so."""
+    import os
+
+    from pathtracer_tpu.render.integrator import render
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "textured_image.txt"
+    )
+    scene = load_scene(path).scene_for_frame(0)
+    assert scene.textures is not None
+    cfg = RenderConfig(max_depth=2, iters_per_launch=2, pallas=True)
+    with pytest.warns(UserWarning, match="fused bounce megakernel auto-disabled"):
+        render(scene, 2, cfg)
+
+
+def test_auto_fused_runs_for_ct(ct_desc):
+    """r4: Cook-Torrance scenes run the fused kernel without a decline
+    warning (the lobes are modeled in-kernel)."""
     from pathtracer_tpu.render.integrator import render
 
     scene = ct_desc.scene_for_frame(0)
     cfg = RenderConfig(max_depth=2, iters_per_launch=2, pallas=True)
-    with pytest.warns(UserWarning, match="fused bounce megakernel auto-disabled"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
         render(scene, 2, cfg)
 
 

@@ -276,12 +276,15 @@ def test_scene_dsl_authored_uv_changes_texture(tmp_path):
     assert np.abs(img_vt - img_plain).max() > 0.1
 
 
-def test_fused_declines_attributed_mesh(tmp_path):
-    """cfg.fused=True on an attributed-mesh scene falls back with a
-    warning instead of silently flat-shading."""
+def test_fused_runs_attributed_mesh_with_smooth_normals(tmp_path):
+    """r4: cfg.fused=True on an attributed-mesh scene runs the mesh-merge
+    kernel WITH the authored smooth normals (they ride the merge planes)
+    — the render equals the split path instead of falling back."""
+    import numpy as np
+
     (tmp_path / "tri.obj").write_text(
         "v -0.5 -0.5 0\nv 0.5 -0.5 0\nv 0 0.5 0\n"
-        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "vn 0 0.2 1\nvn 0.2 0 1\nvn -0.2 0 1\n"
         "f 1//1 2//2 3//3\n"
     )
     scene_file = tmp_path / "s.txt"
@@ -293,8 +296,15 @@ def test_fused_declines_attributed_mesh(tmp_path):
     desc = load_scene(str(scene_file))
     sc = desc.scene_for_frame(0)
     assert sc.meshes[0].tri_norm is not None
-    cfg = RenderConfig(max_depth=2, iters_per_launch=2, fused=True)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        render(sc, 2, cfg)
-    assert any("authored UVs/normals" in str(x.message) for x in w)
+    cfg = RenderConfig(max_depth=2, iters_per_launch=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)  # no decline warning
+        _, acc_fused, _ = render(
+            sc, 2, dataclasses.replace(cfg, fused=True)
+        )
+    _, acc_split, _ = render(
+        sc, 2, dataclasses.replace(cfg, fused=False, pallas=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_fused), np.asarray(acc_split), rtol=5e-4, atol=5e-4
+    )

@@ -212,3 +212,82 @@ def test_fused_bounce_matches_split_path(cornell_scene):
                 rtol=2e-4, atol=2e-5,
                 err_msg=f"{f} (nee={nee})",
             )
+
+
+@pytest.mark.slow
+def test_fused_bounce_matches_split_path_ct_ward_hg():
+    """r4 feature extension: Cook-Torrance GGX, Ward anisotropic, and
+    Henyey-Greenstein phase run inside the fused kernel — equal to the
+    split path on every live lane (interpret mode is bit-domain: same
+    jaxpr arithmetic)."""
+    import os
+
+    from pathtracer_tpu.render.common import shade_bounce
+    from pathtracer_tpu.render.diff import resolve_features
+    from pathtracer_tpu.scene.parser import load_scene
+
+    for scene_file, med_g in (("ward.txt", 0.0), ("sss.txt", 0.7)):
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "scenes", scene_file
+        )
+        scene = load_scene(path).scene_for_frame(0)
+        n = 512
+        key = jax.random.PRNGKey(31)
+        o = jax.random.normal(jax.random.PRNGKey(40), (n, 3)) * 3.0
+        d = jax.random.normal(jax.random.PRNGKey(41), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = Rays(origin=o, direction=d)
+        tp = jax.random.uniform(
+            jax.random.PRNGKey(42), (n, 3), minval=0.2, maxval=1.0
+        )
+        si = jax.random.randint(
+            jax.random.PRNGKey(43), (n,), 0, 10_000_000, jnp.int32
+        )
+        dep = jax.random.randint(jax.random.PRNGKey(44), (n,), 0, 8, jnp.int32)
+        ps = jax.random.bernoulli(jax.random.PRNGKey(45), 0.3, (n,))
+        # defaults (incl. volumetric — the test feeds nonzero media) plus
+        # whatever the scene's materials require, pinned on BOTH paths
+        from pathtracer_tpu.render.diff import features_for_materials
+
+        feats = tuple(
+            dict.fromkeys(
+                RenderConfig().features + features_for_materials(scene.materials)
+            )
+        )
+        base = RenderConfig(features=feats, auto_features=False)
+        width = 5 if "hg" in base.features else 4
+        med = jnp.where(
+            jax.random.bernoulli(jax.random.PRNGKey(46), 0.4, (n, 1)),
+            jnp.abs(jax.random.normal(jax.random.PRNGKey(47), (n, width))) * 0.5,
+            0.0,
+        )
+        if width == 5:
+            med = med.at[:, 4].set(
+                jnp.where(med[:, 3] > 0, jnp.float32(med_g), 0.0)
+            )
+
+        ref = shade_bounce(
+            scene, rays, tp, si, dep, ps, key,
+            dataclasses.replace(base, nee=True, pallas=False, fused=False),
+            medium_sigma=med,
+        )
+        fus = shade_bounce(
+            scene, rays, tp, si, dep, ps, key,
+            dataclasses.replace(base, nee=True, pallas=True, fused=True),
+            medium_sigma=med,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.terminate), np.asarray(fus.terminate),
+            err_msg=scene_file,
+        )
+        live = ~np.asarray(ref.terminate)
+        for f in (
+            "contrib", "next_origin", "next_direction",
+            "throughput_mult", "next_medium",
+        ):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, f))[live],
+                np.asarray(getattr(fus, f))[live],
+                rtol=6e-4, atol=1e-4,
+                err_msg=f"{f} ({scene_file})",
+            )

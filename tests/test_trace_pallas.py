@@ -79,8 +79,9 @@ def test_ktrace_eligibility(cornell):
     scene = cornell.scene_for_frame(0)
     cfg = RenderConfig()
     assert fused_trace_eligible(scene, cfg)
-    assert not fused_trace_eligible(
-        scene, dataclasses.replace(cfg, features=("hg",))
+    # r4: every material feature (incl. CT/Ward/HG) is modeled in-kernel
+    assert fused_trace_eligible(
+        scene, dataclasses.replace(cfg, features=("microfacet", "ward", "hg"))
     )
     assert not fused_trace_eligible(
         scene, dataclasses.replace(cfg, fast_rng=False)
