@@ -18,6 +18,11 @@ class RenderConfig:
     jitter: bool = True  # supersampled AA (README.md:49)
     nee: bool = True  # next-event estimation (direct light sampling);
     # False = pure BSDF+emittance estimator (reference-assignment parity)
+    vol_nee: bool = True  # direct-light sampling at in-medium scatter
+    # events (phase-weighted, straight-line transmittance through
+    # refractive boundaries — render/common.py).  False restores the
+    # chance-hit-only volumetric estimator: unbiased w.r.t. refraction
+    # at the boundary but far higher variance in dense media.
     russian_roulette: bool = False  # RR path termination after rr_start bounces
     rr_start: int = 3
     iters_per_launch: int = 16  # progressive iterations fused into one jit call

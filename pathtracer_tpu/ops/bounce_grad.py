@@ -89,7 +89,7 @@ def _pad_to_planes(arr, npad, pad_value=0.0):
 
 def _bounce_bwd_kernel(
     *refs, n_geoms: int, n_materials: int, nee: bool, t_min: float,
-    features: frozenset = frozenset(),
+    features: frozenset = frozenset(), vol_nee: bool = True,
 ):
     gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
     (
@@ -118,7 +118,7 @@ def _bounce_bwd_kernel(
     throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
     sample = sample_ref[:]
     depth = depth_ref[:]
-    prev_spec = pspec_ref[:] > 0.5
+    prev_state = pspec_ref[:]
     sigma_a = (mar_ref[:], mag_ref[:], mab_ref[:])
     sigma_s = ms_ref[:]
 
@@ -133,8 +133,8 @@ def _bounce_bwd_kernel(
     def f(o, d, thr, sa, ss, gvals, mvals, lvals, svals):
         out = bounce_physics(
             o, d, thr, sa, ss, gvals, mvals, lvals, svals,
-            u, depth, prev_spec, None, nee=nee, t_min=t_min,
-            features=features,
+            u, depth, prev_state, None, nee=nee, t_min=t_min,
+            features=features, vol_nee=vol_nee,
         )
         return (
             out["contrib"], out["next_o"], out["next_d"], out["thr_mult"],
@@ -194,7 +194,7 @@ def _fused_fwd_call(
     gdata, mdata, ldata, scal, seed,
     origin, direction, throughput, med4,
     sample_idx, depth_arr, prev_specular,
-    *, n_geoms, n_materials, nee, features, interpret,
+    *, n_geoms, n_materials, nee, features, vol_nee, interpret,
 ):
     """Non-mesh forward pallas_call of ``_bounce_kernel`` -> tuple of [N]
     arrays ``(contrib, next_o, next_d, thr_mult, next_med4, term, wspec,
@@ -219,6 +219,7 @@ def _fused_fwd_call(
             _bounce_kernel,
             n_geoms=n_geoms, n_materials=n_materials,
             nee=nee, t_min=T_MIN, mesh_merge=False, features=features,
+            vol_nee=vol_nee,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * 16,
@@ -240,7 +241,7 @@ def _fused_fwd_call(
         unp3(9),  # throughput_mult
         jnp.concatenate([unp3(15), unp(18)[:, None]], axis=-1),  # next_med4
         unp(12) > 0.5,  # terminate
-        unp(13) > 0.5,  # was_specular
+        unp(13),  # emit-state code
         unp(14),  # rr_uniform
     )
 
@@ -250,7 +251,7 @@ def _fused_bwd_call(
     origin, direction, throughput, med4,
     sample_idx, depth_arr, prev_specular,
     g_contrib, g_next_o, g_next_d, g_thr_mult, g_med4,
-    *, n_geoms, n_materials, nee, features, interpret,
+    *, n_geoms, n_materials, nee, features, vol_nee, interpret,
 ):
     """Backward pallas_call -> ``(d_gdata, d_mdata, d_ldata, d_scal, d_o,
     d_d, d_thr, d_med4)``."""
@@ -358,7 +359,8 @@ def bounce_fused_diff(
             gdata, mdata, ldata, scal, seed, o, d, thr, med4,
             sample_idx, depth_arr, pspec,
             n_geoms=n_geoms, n_materials=n_materials,
-            nee=cfg.nee, features=features, interpret=interpret,
+            nee=cfg.nee, features=features, vol_nee=cfg.vol_nee,
+            interpret=interpret,
         )
 
     def inner_fwd(gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed):
@@ -380,7 +382,8 @@ def bounce_fused_diff(
             sample_idx, depth_arr, pspec,
             g_contrib, g_no, g_nd, g_tm, g_med,
             n_geoms=n_geoms, n_materials=n_materials,
-            nee=cfg.nee, features=features, interpret=interpret,
+            nee=cfg.nee, features=features, vol_nee=cfg.vol_nee,
+            interpret=interpret,
         )
         return (
             d_gdata, d_mdata, d_ldata, d_scal,

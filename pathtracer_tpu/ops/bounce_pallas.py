@@ -222,6 +222,33 @@ def _material_fetch(mvals, mid):
     )
 
 
+def _atan2_planes(y, x):
+    """Plane atan2 — Mosaic has no atan2/atan lowering.  Octant-reduced
+    minimax polynomial on [0, 1] (max error ~2e-7 rad, vanishing against
+    the texel-grid resolution it feeds)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    r = num / den
+    z = r * r
+    p = r * (
+        0.99997726
+        + z * (-0.33262347
+        + z * (0.19354346
+        + z * (-0.11643287
+        + z * (0.05265332 + z * -0.01172120))))
+    )
+    a = jnp.where(swap, jnp.float32(0.5 * math.pi) - p, p)
+    a = jnp.where(x < 0.0, jnp.float32(math.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _asin_planes(x):
+    """Plane asin via atan2(x, sqrt(1-x^2)); input must be in [-1, 1]."""
+    return _atan2_planes(x, jnp.sqrt(jnp.clip(1.0 - x * x, 0.0, None)))
+
+
 def _not_axis_frame(n):
     """Kutz trick tangent frame (interactions.h:62-87): (p1, p2)."""
     ax = (jnp.abs(n[0]), jnp.abs(n[1]), jnp.abs(n[2]))
@@ -499,11 +526,11 @@ def read_lvals(ldata_ref, n_geoms):
 def bounce_physics(
     o, d, throughput, sigma_a, sigma_s,
     gvals, mvals, lvals, svals,
-    u, depth, prev_spec,
+    u, depth, prev_state,
     mesh_in=None,
     medium_g=None,
     *, nee: bool, t_min: float, features: frozenset = frozenset(),
-    tex_defer: bool = False,
+    tex_defer: bool = False, vol_nee: bool = True,
 ):
     """The ENTIRE per-bounce physics as a pure function of component
     planes and table scalar values — render/common.py's shade_bounce
@@ -515,12 +542,14 @@ def bounce_physics(
     the kernel), so forward and backward can never drift apart.
 
     Differentiable in ``o, d, throughput, sigma_a, sigma_s`` and every
-    table scalar; ``u, depth, prev_spec, mesh_in`` are non-differentiable
+    table scalar; ``u, depth, prev_state, mesh_in`` are non-differentiable
     (RNG / discrete).  The winner where-chain routes cotangents to the
     winning geom only — exactly the gradient-lean semantics of
     ops/intersect.intersect_scene_lean.
 
-    ``features`` is the static RenderConfig.features gate: the
+    ``prev_state`` is the carried float emit-state plane (0 / 1 / 2 —
+    render/common.BounceResult.was_specular).  ``features`` is the
+    static RenderConfig.features gate: the
     Cook-Torrance/Ward lobes ("microfacet"/"ward") and the
     Henyey-Greenstein phase ("hg") only enter the graph when listed —
     the same contract as the split path's sample_bsdf flags.  With "hg",
@@ -625,9 +654,9 @@ def bounce_physics(
         # |p_obj| axis); mesh: box map (dominant |n_obj| axis, with the
         # object normal recovered as M^T n_world via the winner's
         # FORWARD transform rows, which ride in the light table).
-        u_sph = jnp.arctan2(p_obj[2], p_obj[0]) * (1.0 / TWO_PI) + 0.5
+        u_sph = _atan2_planes(p_obj[2], p_obj[0]) * (1.0 / TWO_PI) + 0.5
         v_sph = (
-            jnp.arcsin(jnp.clip(p_obj[1] * 2.0, -1.0, 1.0)) * INV_PI + 0.5
+            _asin_planes(jnp.clip(p_obj[1] * 2.0, -1.0, 1.0)) * INV_PI + 0.5
         )
         if mesh_merge:
             fwd = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(12)]
@@ -695,11 +724,14 @@ def bounce_physics(
     )
     throughput = vmul(throughput, atten)
 
-    # ---- emittance on BSDF hit
+    # ---- emittance on BSDF hit (3-state emit code — see
+    # render/common.BounceResult.was_specular: only state 1 counts)
     emitted = vscale(mat["emittance"], vmul(throughput, mat["color"]))
     emit_mask = hit & emissive & (~vol_scatter)
     if nee:
-        emit_mask = emit_mask & ((depth == 0) | prev_spec)
+        emit_mask = emit_mask & (
+            (depth == 0) | (jnp.abs(prev_state - 1.0) < 0.5)
+        )
     zero3 = (0.0 * o[0], 0.0 * o[0], 0.0 * o[0])
     contrib = vwhere(emit_mask, emitted, zero3)
 
@@ -786,6 +818,13 @@ def bounce_physics(
             add = candidate & visible
             contrib = vadd(contrib, vwhere(add, nee_rgb, zero3))
 
+    # surface emit-state: specular continues a suppressed chain
+    surf_state = jnp.where(
+        sc["is_specular"],
+        jnp.where(jnp.abs(prev_state - 2.0) < 0.5, 2.0, 1.0),
+        0.0,
+    )
+
     # ---- in-medium scatter (render/common.py tail)
     vol_pos = vadd(o, vscale(free_path, d))
     vz = 1.0 - 2.0 * u[9]
@@ -815,6 +854,60 @@ def bounce_physics(
         )
         vol_dir = vwhere(medium_g != 0.0, hg_dir, vol_dir)
 
+    # ---- volumetric NEE (render/common.py): direct light at the
+    # scatter point, phase-weighted, straight-line transmittance;
+    # refractive interfaces bound the attenuated segment but do not
+    # block.  Non-mesh scenes only (mesh scenes with volumetric media
+    # take the split path — gated in render/common.py).
+    vol_state = jnp.full(o[0].shape, 1.0, jnp.float32)
+    if nee and vol_nee and not mesh_merge:
+        n_materials = len(mvals)
+        to_l = vsub(lp, vol_pos)
+        d2v = vdot(to_l, to_l)
+        distv = jnp.sqrt(jnp.maximum(d2v, 1e-12))
+        wiv = vscale(1.0 / distv, to_l)
+        cos_yv = -vdot(ln, wiv)
+        cand_v = vol_scatter & ls["valid"] & (cos_yv > 0)
+
+        # per-geom refractive flag (scalar select over materials)
+        occ_op = jnp.full(o[0].shape, BIG, jnp.float32)
+        occ_re = jnp.full(o[0].shape, BIG, jnp.float32)
+        for g in range(n_geoms):
+            refr_g = jnp.float32(0.0)
+            for m in range(n_materials):
+                refr_g = jnp.where(
+                    gvals[g][13].astype(jnp.int32) == m, mvals[m][7], refr_g
+                )
+            t_g, _ = _geom_t(gvals[g], *vol_pos, *wiv, t_min)
+            occ_op = jnp.minimum(occ_op, jnp.where(refr_g > 0.0, BIG, t_g))
+            occ_re = jnp.minimum(occ_re, jnp.where(refr_g > 0.0, t_g, BIG))
+        visible_v = occ_op >= distv - 4.0 * RAY_BIAS
+        seg_v = jnp.minimum(occ_re, distv)
+        transmit = (
+            jnp.exp(-(sigma_a[0] + sigma_s) * seg_v),
+            jnp.exp(-(sigma_a[1] + sigma_s) * seg_v),
+            jnp.exp(-(sigma_a[2] + sigma_s) * seg_v),
+        )
+        cos_th = vdot(d, wiv)
+        if "hg" in features:
+            g_c = jnp.clip(medium_g, -0.999, 0.999)
+            denomp = jnp.maximum(1.0 + g_c * g_c - 2.0 * g_c * cos_th, 1e-6)
+            phase = (1.0 - g_c * g_c) / (
+                (4.0 * jnp.float32(math.pi)) * denomp * jnp.sqrt(denomp)
+            )
+        else:
+            phase = jnp.full(cos_th.shape, 1.0 / (4.0 * math.pi), jnp.float32)
+        pdf_area_v = 1.0 / jnp.maximum(ls["total_area"], 1e-20)
+        scale_v = phase * cos_yv / jnp.maximum(d2v, 1e-12) / jnp.maximum(
+            pdf_area_v, 1e-20
+        )
+        vol_nee = vscale(
+            scale_v, vmul(vmul(throughput, transmit), tuple(ls["emit"]))
+        )
+        add_v = cand_v & visible_v
+        contrib = vadd(contrib, vwhere(add_v, vol_nee, zero3))
+        vol_state = jnp.where(add_v, 2.0, 1.0)
+
     terminate = (~hit) | (emissive & (~vol_scatter))
     surf_a = vwhere(
         sc["transmitted"],
@@ -839,7 +932,7 @@ def bounce_physics(
         next_d=next_d,
         thr_mult=thr_mult,
         terminate=terminate,
-        wspec=vol_scatter | sc["is_specular"],
+        wspec=jnp.where(vol_scatter, vol_state, surf_state),
         rru=u[3],
         out_ma=out_ma,
         out_ms=out_ms,
@@ -867,7 +960,7 @@ def _bounce_kernel(
     *refs,
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
     mesh_merge: bool = False, features: frozenset = frozenset(),
-    tex_defer: bool = False, mesh_uv: bool = False,
+    tex_defer: bool = False, mesh_uv: bool = False, vol_nee: bool = True,
 ):
     # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
     # under NEE, 11 output planes; "hg" adds a medium-g input and output
@@ -933,7 +1026,7 @@ def _bounce_kernel(
     throughput = (tx_ref[:], ty_ref[:], tz_ref[:])
     sample = sample_ref[:]
     depth = depth_ref[:]
-    prev_spec = pspec_ref[:] > 0.5
+    prev_state = pspec_ref[:]
     sigma_a = (mar_ref[:], mag_ref[:], mab_ref[:])
     sigma_s = ms_ref[:]
 
@@ -946,9 +1039,10 @@ def _bounce_kernel(
         read_mvals(mat_ref, n_materials),
         read_lvals(ldata_ref, n_geoms),
         [scal_ref[0], scal_ref[1]],
-        u, depth, prev_spec, mesh_in,
+        u, depth, prev_state, mesh_in,
         medium_g=(mg_ref[:] if hg else None),
         nee=nee, t_min=t_min, features=features, tex_defer=tex_defer,
+        vol_nee=vol_nee,
     )
 
     cr_ref[:], cg_ref[:], cb_ref[:] = out["contrib"]
@@ -957,7 +1051,7 @@ def _bounce_kernel(
     tmr_ref[:], tmg_ref[:], tmb_ref[:] = out["thr_mult"]
     # bool planes stored as 0/1 floats (Mosaic has no i1 vector memory)
     term_ref[:] = jnp.where(out["terminate"], 1.0, 0.0)
-    wspec_ref[:] = jnp.where(out["wspec"], 1.0, 0.0)
+    wspec_ref[:] = out["wspec"]  # float emit-state code
     rru_ref[:] = out["rru"]
     omr_ref[:], omg_ref[:], omb_ref[:] = out["out_ma"]
     oms_ref[:] = out["out_ms"]
@@ -1016,6 +1110,8 @@ def bounce_fused(
     mesh_merge = bool(scene.meshes)
     features = frozenset(cfg.features)
     hg = "hg" in features
+    tex_defer = scene.textures is not None
+    mesh_uv = False
 
     depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
     planes = (
@@ -1044,9 +1140,10 @@ def bounce_fused(
         any_attrs = any(m.has_attrs for m in scene.meshes)
         if any_attrs:
             # authored vn smooth normals ride the merge planes; authored
-            # vt UVs only matter for image-texture scenes, which the
-            # kernel doesn't cover (the caller gates those off)
-            et, epobj, enrm, emid, _, _uv, _uvv = mesh_only_hit(
+            # vt UVs enter as extra planes when the scene has image
+            # textures (the kernel computes the final UV, the wrapper
+            # samples the atlas)
+            et, epobj, enrm, emid, _, muv, muvv = mesh_only_hit(
                 Rays(origin=origin, direction=direction),
                 scene.geoms, scene.meshes, T_MIN, with_attrs=True,
             )
@@ -1061,6 +1158,12 @@ def bounce_fused(
             + _to_planes(enrm, npad)
             + _to_planes(emid, npad)
         )
+        if tex_defer and any_attrs:
+            mesh_uv = True
+            planes += (
+                _to_planes(muv, npad)
+                + _to_planes(muvv.astype(jnp.float32), npad)
+            )
 
     gdata = _pack_gdata(scene.geoms)
     mdata = pack_material_table(scene.materials)
@@ -1073,8 +1176,14 @@ def bounce_fused(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     fshp = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
-    n_in = 16 + (1 if hg else 0) + (8 if mesh_merge else 0)
-    n_out = 19 + (1 if hg else 0) + (11 if (mesh_merge and cfg.nee) else 0)
+    n_in = (
+        16 + (1 if hg else 0) + (8 if mesh_merge else 0)
+        + (3 if mesh_uv else 0)
+    )
+    n_out = (
+        19 + (1 if hg else 0) + (3 if tex_defer else 0)
+        + (11 if (mesh_merge and cfg.nee) else 0)
+    )
     outs = pl.pallas_call(
         functools.partial(
             _bounce_kernel,
@@ -1084,6 +1193,9 @@ def bounce_fused(
             t_min=T_MIN,
             mesh_merge=mesh_merge,
             features=features,
+            tex_defer=tex_defer,
+            mesh_uv=mesh_uv,
+            vol_nee=cfg.vol_nee,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * n_in,
@@ -1098,8 +1210,29 @@ def bounce_fused(
     def unp3(i):
         return jnp.stack([unp(i), unp(i + 1), unp(i + 2)], axis=-1)
 
-    base = 19 + (1 if hg else 0)  # first mesh-NEE deferral output
+    tex_base = 19 + (1 if hg else 0)
+    base = tex_base + (3 if tex_defer else 0)  # first mesh-NEE output
     contrib = unp3(0)
+    thr_mult = unp3(9)
+    wspec = unp(13)  # float emit-state code
+    if tex_defer:
+        # deferred image-texture fetch: the albedo enters contrib (emit
+        # OR nee — disjoint per lane) and the diffuse throughput strictly
+        # linearly, so one bilinear texel multiplies in exactly what the
+        # split path folded into mat.color (render/common.py)
+        from pathtracer_tpu.ops.texture import sample_atlas
+
+        uv = jnp.stack([unp(tex_base), unp(tex_base + 1)], axis=-1)
+        slot = unp(tex_base + 2)
+        texel = sample_atlas(scene.textures, slot, uv)
+        tmul = jnp.where((slot >= 0.0)[:, None], texel, 1.0)
+        contrib = contrib * tmul
+        # only diffuse surface events (state 0) carry the albedo in
+        # their throughput multiplier
+        thr_mult = jnp.where(
+            ((slot >= 0.0) & (wspec < 0.5))[:, None],
+            thr_mult * texel, thr_mult,
+        )
     if mesh_merge and cfg.nee:
         # resolve the deferred NEE term: triangle occlusion of the
         # in-kernel shadow ray (exact split — see the kernel comment)
@@ -1114,7 +1247,10 @@ def bounce_fused(
             Rays(origin=sh_o, direction=sh_d), scene.geoms, scene.meshes, T_MIN
         )
         visible = cand_vis & (occ >= dist - 4.0 * RAY_BIAS)
-        contrib = contrib + jnp.where(visible[:, None], nee_rgb, 0.0)
+        nee_add = jnp.where(visible[:, None], nee_rgb, 0.0)
+        if tex_defer:
+            nee_add = nee_add * tmul
+        contrib = contrib + nee_add
 
     if hg:
         med_cols = [unp3(15), unp(18)[:, None], unp(19)[:, None]]
@@ -1128,9 +1264,9 @@ def bounce_fused(
         contrib=contrib,
         next_origin=unp3(3),
         next_direction=unp3(6),
-        throughput_mult=unp3(9),
+        throughput_mult=thr_mult,
         terminate=unp(12) > 0.5,
-        was_specular=unp(13) > 0.5,
+        was_specular=wspec,
         rr_uniform=unp(14),
         next_medium=jnp.concatenate(med_cols, axis=-1),
     )

@@ -184,6 +184,16 @@ def uniform_sphere(xi1: jax.Array, xi2: jax.Array) -> jax.Array:
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
+def hg_phase_value(g: jax.Array, cos_theta: jax.Array) -> jax.Array:
+    """Henyey-Greenstein phase function VALUE (1/sr), degenerating to the
+    isotropic 1/(4 pi) at g = 0.  Used by volumetric NEE, where the
+    scatter event's continuation is phase-sampled but the light
+    connection needs the phase evaluated toward the light."""
+    g = jnp.clip(g, -0.999, 0.999)
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_theta, 1e-6)
+    return (1.0 - g * g) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
 def henyey_greenstein(
     direction: jax.Array, g: jax.Array, xi1: jax.Array, xi2: jax.Array
 ) -> jax.Array:

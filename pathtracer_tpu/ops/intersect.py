@@ -557,6 +557,29 @@ def mesh_only_occlusion(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN):
     return t
 
 
+def occlusion_split_t(
+    rays: Rays, geoms: Geoms, materials, meshes: tuple = (), t_min=T_MIN
+):
+    """``(t_opaque [N], t_refractive [N])`` — nearest shadow-ray hit over
+    the NON-refractive geoms and over the refractive ones, separately
+    (BIG = none).  Volumetric NEE treats refractive interfaces as
+    transparent-with-transmittance: the first refractive ``t`` bounds the
+    in-medium segment, only opaque geometry blocks (render/common.py)."""
+    t_all = intersect_t_sweep(rays, geoms, t_min)  # [N, G]
+    refr = (materials.has_refractive[geoms.material_id] > 0.0)[None, :]
+    t_op = jnp.min(jnp.where(refr, BIG, t_all), axis=-1)
+    t_re = jnp.min(jnp.where(refr, t_all, BIG), axis=-1)
+    for m in meshes:
+        inv = geoms.inv_transform[m.geom_index]
+        o_obj = transform_point(inv, rays.origin)
+        d_obj = transform_dir(inv, rays.direction)
+        mt, _ = mesh_query(m, o_obj, d_obj, t_min)
+        m_refr = materials.has_refractive[geoms.material_id[m.geom_index]] > 0.0
+        t_op = jnp.where(m_refr, t_op, jnp.minimum(t_op, mt))
+        t_re = jnp.where(m_refr, jnp.minimum(t_re, mt), t_re)
+    return t_op, t_re
+
+
 def occlusion_t(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> jax.Array:
     """Nearest ``t`` per ray over all geometry (BIG = clear) — the
     distance-only XLA sweep for shadow rays."""

@@ -58,7 +58,7 @@ def _trace_kernel(
     *,
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
     max_depth: int, rr: bool, rr_start: int,
-    features: frozenset = frozenset(),
+    features: frozenset = frozenset(), vol_nee: bool = True,
 ):
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -85,7 +85,7 @@ def _trace_kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     lane_idx = (pl.program_id(0) * shape[0] + row_ids) * shape[1] + col_ids
     alive = lane_idx < nvalid_ref[0]
-    prev_spec = jnp.zeros(shape, bool)
+    prev_state = jnp.zeros(shape, jnp.float32)  # emit-state code
     radiance = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
     nrays = jnp.float32(0.0)
     ray_mult = 2.0 if nee else 1.0
@@ -98,8 +98,8 @@ def _trace_kernel(
         out = bounce_physics(
             o, d, throughput, sigma_a, sigma_s,
             gvals, mvals, lvals, svals,
-            u, depth, prev_spec, None, medium_g=medium_g,
-            nee=nee, t_min=t_min, features=features,
+            u, depth, prev_state, None, medium_g=medium_g,
+            nee=nee, t_min=t_min, features=features, vol_nee=vol_nee,
         )
         for c in range(3):
             radiance[c] = radiance[c] + jnp.where(
@@ -129,7 +129,7 @@ def _trace_kernel(
             jnp.where(new_alive, n, prev) for n, prev in zip(out["next_d"], d)
         )
         alive = new_alive
-        prev_spec = out["wspec"]
+        prev_state = out["wspec"]
         sigma_a = out["out_ma"]
         sigma_s = out["out_ms"]
         if hg:
@@ -164,14 +164,14 @@ def fused_trace_eligible(scene, cfg) -> bool:
     jax.jit,
     static_argnames=(
         "n_geoms", "n_materials", "nee", "max_depth", "rr", "rr_start",
-        "features", "interpret",
+        "features", "vol_nee", "interpret",
     ),
 )
 def _trace_call(
     gdata, mdata, ldata, scal, seed,
     origin, direction, sample_idx,
     *, n_geoms, n_materials, nee, max_depth, rr, rr_start, features,
-    interpret,
+    vol_nee, interpret,
 ):
     n = origin.shape[0]
     tile = TRACE_ROWS * LANES
@@ -204,7 +204,7 @@ def _trace_call(
             _trace_kernel,
             n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
             max_depth=max_depth, rr=rr, rr_start=rr_start,
-            features=features,
+            features=features, vol_nee=vol_nee,
         ),
         grid=grid,
         in_specs=[smem] * 6 + [plane] * 7,
@@ -246,5 +246,6 @@ def trace_fused(scene, rays, sample_idx, base_key, cfg):
         rr=cfg.russian_roulette,
         rr_start=cfg.rr_start,
         features=frozenset(cfg.features),
+        vol_nee=cfg.vol_nee,
         interpret=interpret,
     )

@@ -65,7 +65,14 @@ class BounceResult:
     next_direction: jax.Array  # [N, 3]
     throughput_mult: jax.Array  # [N, 3] (includes Beer-Lambert attenuation)
     terminate: jax.Array  # [N] bool: path ends here (miss/light hit)
-    was_specular: jax.Array  # [N] bool: this bounce's event was specular
+    was_specular: jax.Array  # [N] float32 emit-state code of this bounce's
+    # event: 0 = diffuse (NEE covers the next light hit), 1 = specular
+    # (a following BSDF light hit COUNTS — delta lobes can't do NEE),
+    # 2 = post-scatter (volumetric NEE at the scatter point already
+    # estimated the straight-through-boundary connection, so light hits
+    # reached via the following SPECULAR chain are suppressed; the state
+    # persists through that chain and resets at the next diffuse event).
+    # With cfg.nee=False everything emits, so only {0, 1} occur.
     rr_uniform: jax.Array  # [N] uniform reserved for russian roulette
     next_medium: jax.Array  # [N, 4|5] (sigma_a rgb, sigma_s[, HG g]) of medium entered
 
@@ -121,29 +128,35 @@ def shade_bounce(
     mesh_attrs = any(m.has_attrs for m in scene.meshes)
     if cfg.grad_lean:
         use_fused = False  # the fused kernel has no gradient path
+    # volumetric NEE's refractive-aware occlusion of MESH boundaries is
+    # not plumbed through the mesh-merge deferral — scenes with both
+    # triangle meshes and scattering media take the split path under NEE
+    vol_mesh = (
+        bool(scene.meshes)
+        and "volumetric" in cfg.features
+        and cfg.nee
+        and cfg.vol_nee
+    )
+    if cfg.grad_lean:
+        pass  # handled above
     elif use_fused is None:
-        # authored mesh attrs are fine fused (smooth normals ride the
-        # merge planes) UNLESS the scene also has image textures, whose
-        # sampling needs the authored UVs on the split path
-        attrs_block = mesh_attrs and scene.textures is not None
-        use_fused = (
-            use_pallas
-            and scene.textures is None
-            and cfg.fast_rng
-            and not attrs_block
-        )
+        # r4: every scene class runs fused per-bounce — CT/Ward/HG lobes
+        # in-kernel, authored mesh attrs on the merge planes, image
+        # textures via the deferred-texel wrapper.  Remaining declines:
+        # the RNG choice (the kernel hardwires the counter-hash) and the
+        # mesh+volumetric+NEE combination.
+        use_fused = use_pallas and cfg.fast_rng and not vol_mesh
         if use_pallas and not use_fused:
-            # the auto path is declining a scene-author-controlled fast
-            # path — say so once, instead of a silent perf cliff for
-            # textured scenes (VERDICT r2 weak #4).  (Cook-Torrance /
-            # Ward / HG run fused since r4.)
-            reasons = []
-            if scene.textures is not None:
-                reasons.append("scene has image textures")
-            if not cfg.fast_rng:
-                reasons.append("fast_rng=False")
             import warnings
 
+            reasons = []
+            if not cfg.fast_rng:
+                reasons.append("fast_rng=False")
+            if vol_mesh:
+                reasons.append(
+                    "volumetric NEE with triangle meshes (mesh-boundary "
+                    "occlusion not deferred)"
+                )
             warnings.warn(
                 "fused bounce megakernel auto-disabled ("
                 + "; ".join(reasons)
@@ -152,15 +165,14 @@ def shade_bounce(
             )
     elif use_fused:
         # explicit opt-in must still satisfy the kernel's preconditions:
-        # bounce_fused has no image-texture atlas and hardwires the
-        # counter-hash RNG — honoring fused=True here would silently
-        # change the image or swap the sample set (ADVICE r1).  Fall
-        # back loudly.
+        # the in-kernel counter-hash RNG (honoring fused=True under
+        # fast_rng=False would swap the sample set, ADVICE r1) and the
+        # mesh+volumetric limitation.  Fall back loudly.
         unsupported = []
-        if scene.textures is not None:
-            unsupported.append("scene has image textures")
         if not cfg.fast_rng:
             unsupported.append("fast_rng=False")
+        if vol_mesh:
+            unsupported.append("volumetric NEE with triangle meshes")
         if unsupported:
             import warnings
 
@@ -330,9 +342,14 @@ def shade_bounce(
         atten = jnp.ones_like(throughput)
 
     # ---- emittance on BSDF hit.  With NEE, count only where no NEE could
-    # have sampled this light: primary rays and post-specular bounces.
+    # have sampled this light: primary rays and post-specular bounces —
+    # state 1 of the 3-state emit code (state 2, the post-scatter
+    # specular chain, is covered by the volumetric NEE below).
+    prev_state = prev_specular.astype(jnp.float32)
     if cfg.nee:
-        count_emit = (jnp.asarray(depth) == 0) | prev_specular
+        count_emit = (jnp.asarray(depth) == 0) | (
+            jnp.abs(prev_state - 1.0) < 0.5
+        )
         count_emit = jnp.broadcast_to(count_emit, emissive.shape)
     else:
         count_emit = jnp.ones_like(emissive)
@@ -415,6 +432,15 @@ def shade_bounce(
             (candidate & visible)[:, None], nee, 0.0
         )
 
+    # emit-state code of this bounce (see BounceResult.was_specular):
+    # surface events: specular continues a suppressed chain (2 -> 2),
+    # otherwise 1; diffuse resets to 0
+    surf_state = jnp.where(
+        scatter.is_specular,
+        jnp.where(jnp.abs(prev_state - 2.0) < 0.5, 2.0, 1.0),
+        0.0,
+    )
+
     terminate = (~hit.hit) | (emissive & (~vol_scatter))
     if not has_vol:
         return BounceResult(
@@ -423,13 +449,13 @@ def shade_bounce(
             next_direction=scatter.direction,
             throughput_mult=scatter.throughput_mult,
             terminate=terminate,
-            was_specular=scatter.is_specular,
+            was_specular=surf_state,
             rr_uniform=u[:, 3],
             next_medium=medium_sigma,
         )
 
-    # ---- in-medium scatter event: isotropic phase function at the
-    # sampled interior point; stays in the same medium, no NEE/emission
+    # ---- in-medium scatter event: phase-sampled continuation at the
+    # sampled interior point, staying in the same medium
     from pathtracer_tpu.ops.bsdf import henyey_greenstein, uniform_sphere
 
     vol_pos = rays.origin + free_path[:, None] * rays.direction
@@ -479,6 +505,63 @@ def shade_bounce(
         axis=-1,
     )
 
+    # ---- volumetric NEE (VERDICT r3 #6): direct light at the in-medium
+    # scatter point — area-sampled light point (the SAME sample as the
+    # surface NEE: vol and surface lanes are disjoint), phase-function
+    # weight, and straight-line transmittance through the medium.
+    # Refractive interfaces do not block the shadow ray; the segment
+    # inside the current medium attenuates by exp(-sigma_t * s).  This
+    # ignores the interface's refraction bend and Fresnel loss — the
+    # documented approximation that turns the pure-path-tracing
+    # estimator (light only via chance boundary hits) into one that
+    # converges at a fraction of the spp.  The suppressed emit state (2)
+    # prevents the following specular chain from double-counting the
+    # same connection.
+    vol_state = jnp.full(vol_scatter.shape, 1.0, jnp.float32)
+    if cfg.nee and cfg.vol_nee:
+        from pathtracer_tpu.ops.bsdf import hg_phase_value
+        from pathtracer_tpu.ops.intersect import occlusion_split_t
+
+        to_l = ls.position - vol_pos
+        d2v = jnp.sum(to_l * to_l, axis=-1)
+        distv = jnp.sqrt(jnp.maximum(d2v, 1e-12))
+        wiv = to_l / distv[:, None]
+        cos_yv = jnp.sum(ls.normal * (-wiv), axis=-1)
+        cand_v = vol_scatter & ls.valid & (cos_yv > 0)
+
+        sg = jax.lax.stop_gradient
+        shadow_v = Rays(origin=sg(vol_pos), direction=sg(wiv))
+        geoms_sg = jax.tree_util.tree_map(sg, scene.geoms)
+        meshes_sg = jax.tree_util.tree_map(sg, scene.meshes)
+        t_opaque, t_boundary = occlusion_split_t(
+            shadow_v, geoms_sg, scene.materials, meshes_sg
+        )
+        t_opaque = jax.lax.stop_gradient(t_opaque)
+        t_boundary = jax.lax.stop_gradient(t_boundary)
+        visible_v = t_opaque >= sg(distv) - 4.0 * RAY_BIAS
+        seg_v = jnp.minimum(t_boundary, distv)
+        sigma_t = sigma_a + sigma_s[:, None]
+        transmit = jnp.exp(-sigma_t * seg_v[:, None])
+        cos_th = jnp.sum(rays.direction * wiv, axis=-1)
+        if "hg" in cfg.features:
+            phase = hg_phase_value(medium_g, cos_th)
+        else:
+            phase = jnp.full(cos_th.shape, 1.0 / (4.0 * jnp.pi))
+        vol_nee = (
+            throughput
+            * transmit
+            * ls.emitted
+            * (phase * cos_yv / jnp.maximum(d2v, 1e-12)
+               / jnp.maximum(ls.pdf_area, 1e-20))[:, None]
+        )
+        contrib = contrib + jnp.where(
+            (cand_v & visible_v)[:, None], vol_nee, 0.0
+        )
+        # suppressed chain only when NEE actually estimated the
+        # connection; geometrically-invisible scatter points keep the
+        # old emittance-only estimator (state 1)
+        vol_state = jnp.where(cand_v & visible_v, 2.0, 1.0)
+
     vs = vol_scatter[:, None]
     return BounceResult(
         contrib=contrib,
@@ -488,7 +571,7 @@ def shade_bounce(
             vs, atten, atten * scatter.throughput_mult
         ),
         terminate=terminate,
-        was_specular=jnp.where(vol_scatter, True, scatter.is_specular),
+        was_specular=jnp.where(vol_scatter, vol_state, surf_state),
         rr_uniform=u[:, 3],
         next_medium=jnp.where(vs, medium_sigma, surf_medium),
     )

@@ -152,7 +152,7 @@ def trace_paths(
         rays,
         jnp.ones((n, 3), jnp.float32),
         jnp.ones((n,), bool),
-        jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.float32),  # emit-state code (BounceResult)
         # medium (sigma_a rgb, sigma_s[, HG g]) — g column only when the
         # "hg" feature is on (it rides every carry; see common.py)
         jnp.zeros((n, 5 if "hg" in cfg.features else 4), jnp.float32),

@@ -94,7 +94,7 @@ def render_samples_wavefront(
         pixel=pixel0,
         sample=sample0,
         depth=jnp.zeros((capacity,), jnp.int32),
-        prev_spec=jnp.zeros((capacity,), bool),
+        prev_spec=jnp.zeros((capacity,), jnp.float32),  # emit-state code
         medium=jnp.zeros((capacity, 5 if "hg" in cfg.features else 4), jnp.float32),
         alive=first_q < end_queue,
         next_queue=start_queue + capacity,
@@ -236,7 +236,7 @@ def render_samples_pinned(
         sample=sample0,
         it=it0,
         depth=jnp.zeros((n_local,), jnp.int32),
-        prev_spec=jnp.zeros((n_local,), bool),
+        prev_spec=jnp.zeros((n_local,), jnp.float32),  # emit-state code
         medium=jnp.zeros((n_local, 5 if "hg" in cfg.features else 4), jnp.float32),
         alive=jnp.full((n_local,), n_iters > 0),
         rays=jnp.float32(0.0),

@@ -154,21 +154,16 @@ def test_motion_path_resolves_features(ct_desc):
     assert np.abs(a_auto - a_pin).mean() > 1e-4
 
 
-def test_auto_fused_decline_warns():
-    """When pallas is active but the fused megakernel can't run (here: an
-    image-texture atlas — since r4 Cook-Torrance/Ward/HG DO run fused),
-    the auto path must say so."""
-    import os
-
+def test_auto_fused_decline_warns(ct_desc):
+    """When pallas is active but the fused megakernel can't run — since
+    r4 the only remaining precondition is the in-kernel counter-hash RNG
+    — the auto path must say so."""
     from pathtracer_tpu.render.integrator import render
-    from pathtracer_tpu.scene.parser import load_scene
 
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "scenes", "textured_image.txt"
+    scene = ct_desc.scene_for_frame(0)
+    cfg = RenderConfig(
+        max_depth=2, iters_per_launch=2, pallas=True, fast_rng=False
     )
-    scene = load_scene(path).scene_for_frame(0)
-    assert scene.textures is not None
-    cfg = RenderConfig(max_depth=2, iters_per_launch=2, pallas=True)
     with pytest.warns(UserWarning, match="fused bounce megakernel auto-disabled"):
         render(scene, 2, cfg)
 

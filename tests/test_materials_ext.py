@@ -198,8 +198,14 @@ def test_volumetric_scattering_changes_transport():
     assert np.isfinite(a_milky).all()
     # the sphere interior looks different under scattering
     assert np.abs(a_milky[10:14, 10:14] - a_clear[10:14, 10:14]).mean() > 0.01
-    # floor corner (never intersects the sphere) identical
-    np.testing.assert_allclose(a_milky[22, 2], a_clear[22, 2], atol=1e-5)
+    # a zero scatter coefficient means no scatter events: transport is
+    # bit-identical to the clear scene everywhere (vacuum paths untouched
+    # even with volumetric NEE in the graph)
+    zero = milky.replace("RSCTCOEFF 2.5", "RSCTCOEFF 0")
+    desc_zero = parse_scene_text(zero.format(abs="0 0 0"))
+    _, a_zero, _ = render(desc_zero.scene_for_frame(0), 16, cfg)
+    a_zero = np.asarray(a_zero).reshape(24, 24, 3) / 16.0
+    np.testing.assert_allclose(a_zero, a_clear, atol=1e-5)
 
 
 def test_texture_and_bump_dsl_parsing():

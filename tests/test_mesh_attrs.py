@@ -308,3 +308,50 @@ def test_fused_runs_attributed_mesh_with_smooth_normals(tmp_path):
     np.testing.assert_allclose(
         np.asarray(acc_fused), np.asarray(acc_split), rtol=5e-4, atol=5e-4
     )
+
+
+@pytest.mark.slow
+def test_fused_image_texture_with_authored_uv_matches_split(tmp_path):
+    """r4: an attributed mesh under an IMAGE texture runs the fused
+    kernel with the authored vt riding the merge planes and the texel
+    deferred to the wrapper — accumulator equal to the split path, and
+    genuinely using the authored UVs (differs from the box-mapped
+    variant)."""
+    from pathtracer_tpu.utils.imageio import save_image
+
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:4, :, 0] = 1.0
+    tex[4:, :, 2] = 1.0
+    save_image(str(tmp_path / "t.png"), tex)
+    quad = (
+        "v -0.5 -0.5 0\nv 0.5 -0.5 0\nv 0.5 0.5 0\nv -0.5 0.5 0\n"
+        "{vt}"
+        "f {f1} {f2} {f3} {f4}\n"
+    )
+    (tmp_path / "quad_vt.obj").write_text(
+        quad.format(
+            vt="vt 0 1\nvt 0 0\nvt 1 0\nvt 1 1\n",
+            f1="1/1", f2="2/2", f3="3/3", f4="4/4",
+        )
+    )
+    (tmp_path / "quad_plain.obj").write_text(
+        quad.format(vt="", f1="1", f2="2", f3="3", f4="4")
+    )
+
+    def run(obj_name, fused):
+        scene_file = tmp_path / f"s_{obj_name}_{fused}.txt"
+        scene_file.write_text(SCENE.format(tex="t.png", obj=obj_name))
+        desc = load_scene(str(scene_file))
+        sc = desc.scene_for_frame(0)
+        cfg = RenderConfig(
+            max_depth=2, iters_per_launch=2, jitter=False,
+            fused=fused, pallas=fused,
+        )
+        _, accum, _ = render(sc, 2, cfg)
+        return np.asarray(accum)
+
+    a_split = run("quad_vt.obj", False)
+    a_fused = run("quad_vt.obj", True)
+    np.testing.assert_allclose(a_fused, a_split, rtol=6e-4, atol=1e-4)
+    a_plain = run("quad_plain.obj", True)
+    assert np.abs(a_fused - a_plain).max() > 0.05

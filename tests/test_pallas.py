@@ -131,14 +131,21 @@ def test_fused_bounce_mesh_merge_matches_split_path():
     ps = jax.random.bernoulli(jax.random.PRNGKey(25), 0.3, (n,))
     med = jnp.zeros((n, 5), jnp.float32)
 
+    # no "volumetric": mesh scenes with scattering media take the split
+    # path (volumetric NEE's mesh occlusion is not deferred); this test
+    # pins the fused mesh-merge against the split path on the features
+    # the merge kernel covers
+    feats = ("texture", "bump", "glossy")
     for nee in (True, False):
         ref = shade_bounce(
             scene, rays, tp, si, dep, ps, key,
-            RenderConfig(nee=nee, pallas=False, fused=False), medium_sigma=med,
+            RenderConfig(nee=nee, pallas=False, fused=False, features=feats),
+            medium_sigma=med,
         )
         fus = shade_bounce(
             scene, rays, tp, si, dep, ps, key,
-            RenderConfig(nee=nee, pallas=True, fused=True), medium_sigma=med,
+            RenderConfig(nee=nee, pallas=True, fused=True, features=feats),
+            medium_sigma=med,
         )
         np.testing.assert_array_equal(
             np.asarray(ref.terminate), np.asarray(fus.terminate)
@@ -291,3 +298,59 @@ def test_fused_bounce_matches_split_path_ct_ward_hg():
                 rtol=6e-4, atol=1e-4,
                 err_msg=f"{f} ({scene_file})",
             )
+
+
+@pytest.mark.slow
+def test_fused_bounce_matches_split_path_image_textures():
+    """r4: image-texture scenes run the fused kernel with the texel
+    DEFERRED to the wrapper (albedo enters contrib and the diffuse
+    throughput linearly) — equal to the split path, including authored
+    mesh UVs when present."""
+    import os
+
+    from pathtracer_tpu.render.common import shade_bounce
+    from pathtracer_tpu.render.diff import resolve_features
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "textured_image.txt"
+    )
+    scene = load_scene(path).scene_for_frame(0)
+    assert scene.textures is not None
+    n = 512
+    key = jax.random.PRNGKey(51)
+    o = jax.random.normal(jax.random.PRNGKey(60), (n, 3)) * 3.0
+    d = jax.random.normal(jax.random.PRNGKey(61), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(origin=o, direction=d)
+    tp = jax.random.uniform(jax.random.PRNGKey(62), (n, 3), minval=0.2, maxval=1.0)
+    si = jax.random.randint(jax.random.PRNGKey(63), (n,), 0, 10_000_000, jnp.int32)
+    dep = jax.random.randint(jax.random.PRNGKey(64), (n,), 0, 8, jnp.int32)
+    ps = jax.random.bernoulli(jax.random.PRNGKey(65), 0.3, (n,))
+    med = jnp.zeros((n, 4), jnp.float32)
+    base = resolve_features(RenderConfig(), scene.materials)
+
+    ref = shade_bounce(
+        scene, rays, tp, si, dep, ps, key,
+        dataclasses.replace(base, nee=True, pallas=False, fused=False),
+        medium_sigma=med,
+    )
+    fus = shade_bounce(
+        scene, rays, tp, si, dep, ps, key,
+        dataclasses.replace(base, nee=True, pallas=True, fused=True),
+        medium_sigma=med,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.terminate), np.asarray(fus.terminate)
+    )
+    live = ~np.asarray(ref.terminate)
+    for f in (
+        "contrib", "next_origin", "next_direction",
+        "throughput_mult", "next_medium",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f))[live],
+            np.asarray(getattr(fus, f))[live],
+            rtol=6e-4, atol=1e-4,
+            err_msg=f,
+        )
