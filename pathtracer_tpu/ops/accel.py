@@ -105,6 +105,40 @@ def build_mesh_accel(tri_verts: np.ndarray, chunk: int = 128) -> MeshAccel:
     )
 
 
+def refresh_accel(accel: MeshAccel, tri_verts) -> MeshAccel:
+    """Rebind the LBVH to the LIVE vertex array (VERDICT r3 #7).
+
+    The Morton chunk GROUPING (``scan_to_file``) is fixed at build time,
+    but the triangle copies and chunk/root AABBs are recomputed from the
+    current ``tri_verts`` inside the traced graph — so a vertex
+    optimization can move vertices arbitrarily far and the traversal
+    still sees exact geometry: winners cannot be silently missed, the
+    structure only degrades in CULLING QUALITY (stale Morton order makes
+    chunk AABBs looser) rather than correctness.  This replaces the old
+    manual "re-call params_from_description every N steps" staleness
+    contract.  All outputs are detached (the winner search is
+    stop-gradiented; vertex gradients flow through the file-order
+    recompute gather, ops/intersect.py)."""
+    import jax
+
+    sg = jax.lax.stop_gradient
+    verts = sg(jnp.asarray(tri_verts, jnp.float32))
+    chunk = accel.chunks.shape[1]
+    tris = verts[accel.scan_to_file]  # [C*chunk, 3, 3], pad rows duplicated
+    ch = tris.reshape(-1, chunk, 3, 3)
+    lo = ch.min(axis=(1, 2))
+    hi = ch.max(axis=(1, 2))
+    return MeshAccel(
+        n_tris=accel.n_tris,
+        chunks=ch,
+        lo=lo,
+        hi=hi,
+        root_lo=lo.min(axis=0),
+        root_hi=hi.max(axis=0),
+        scan_to_file=accel.scan_to_file,
+    )
+
+
 def _safe_recip(x, eps=1e-12):
     return 1.0 / jnp.where(jnp.abs(x) < eps, jnp.where(x >= 0, eps, -eps), x)
 

@@ -96,13 +96,14 @@ class SceneStatic:
 # exact-match tests); the raw mesh-sweep speed is addressed separately
 # (Pallas mesh kernel).
 #
-# Staleness contract: the accel indexes the winner search only (always
-# stop-gradiented); gradients flow through a file-order gather of the
-# live tri_verts, so VERTEX gradients stay exact at the build point.  If
-# vertices are being *optimized* far from their initial positions, the
-# chunk AABBs go stale and winners can be missed — re-call
-# params_from_description (new content hash -> fresh accel + recompile)
-# every N steps, or pass accel=False.
+# Staleness: NONE (r4).  Only the Morton chunk GROUPING is cached; the
+# triangle copies and chunk/root AABBs are rebound to the live vertices
+# inside the traced graph on every step (ops/accel.refresh_accel via
+# build_scene), so winners cannot be silently missed under vertex
+# optimization — arbitrary drift only loosens the (stale-order) chunk
+# AABBs, degrading culling, not correctness.  Re-calling
+# params_from_description after large drift is now purely a PERF
+# refresh (tighter Morton order), never a correctness requirement.
 _ACCEL_CACHE: dict = {}
 
 
@@ -207,12 +208,19 @@ def build_scene(params: SceneParams, static: SceneStatic) -> Scene:
         aperture=params.cam_aperture,
         focal_distance=params.cam_focal,
     )
+    from pathtracer_tpu.ops.accel import refresh_accel
+
     keys = static.mesh_accel_keys or (None,) * len(static.mesh_geom_indices)
     meshes = tuple(
         MeshInstance(
             geom_index=gi,
             tri_verts=v,
-            accel=_ACCEL_CACHE.get(k) if k else None,
+            # the LBVH's Morton grouping is cached; its triangle copies
+            # and AABBs are rebound to the LIVE vertices every step, so
+            # a vertex optimization can never silently miss winners
+            # (ops/accel.refresh_accel — the r3 staleness contract made
+            # automatic)
+            accel=refresh_accel(_ACCEL_CACHE[k], v) if k else None,
         )
         for gi, v, k in zip(static.mesh_geom_indices, params.mesh_verts, keys)
     )
