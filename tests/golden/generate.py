@@ -37,6 +37,12 @@ GOLDENS = [
     ("cornell_200", os.path.join(ROOT, "scenes", "cornell.txt"), (200, 200), 32),
     ("glass_dof_128", os.path.join(ROOT, "scenes", "glass_dof.txt"), (128, 128), 32),
     ("sample_scene_96", REFERENCE_SAMPLE_SCENE, (96, 96), 16),
+    # elective scene classes (VERDICT r3 #8): authored-vn mesh,
+    # Ward/Cook-Torrance, SSS media, image textures
+    ("smooth_mesh_96", os.path.join(ROOT, "scenes", "smooth_mesh.txt"), (96, 96), 16),
+    ("ward_96", os.path.join(ROOT, "scenes", "ward.txt"), (96, 96), 16),
+    ("sss_96", os.path.join(ROOT, "scenes", "sss.txt"), (96, 96), 24),
+    ("textured_image_96", os.path.join(ROOT, "scenes", "textured_image.txt"), (96, 96), 16),
 ]
 
 
@@ -67,7 +73,7 @@ def render_golden_full(scene_path, resolution, spp, scene_perturb=None):
 # goldens that ALSO store the fp32 linear accumulator as .npy: the 8-bit
 # PNGs tolerate ~1% drift (quantization + XLA fusion-order jitter); the
 # npy pins the physics to ~1e-5 relative (SURVEY.md §4.3)
-FP32_GOLDENS = ("cornell_96",)
+FP32_GOLDENS = ("cornell_96", "ward_96", "sss_96")
 
 
 def main():

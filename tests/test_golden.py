@@ -142,3 +142,121 @@ def test_golden_reference_sample_scene_render():
     """End-to-end: the reference's own scene file renders and matches its
     checked-in golden."""
     _check_golden("sample_scene_96")
+
+
+# ---------------------------------------------------------------------------
+# elective scene classes (VERDICT r3 #8): each golden is pinned AND a
+# deliberate physics perturbation in that path must fail it
+# ---------------------------------------------------------------------------
+
+
+def _fp32_check_named(name, accum, rel=1e-5):
+    golden = np.load(os.path.join(HERE, "golden", f"{name}.npy"))
+    assert accum.shape == golden.shape
+    return bool(np.all(np.abs(accum - golden) <= rel * (np.abs(golden) + 1e-3)))
+
+
+@pytest.mark.slow
+def test_golden_smooth_mesh():
+    _check_golden("smooth_mesh_96")
+
+
+@pytest.mark.slow
+def test_golden_smooth_mesh_perturbation_fails():
+    """Disturbing the authored vn normals (the smooth-shading path)
+    visibly changes the render — the golden is sensitive to exactly the
+    attribute machinery it pins."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    def perturb(scene):
+        m = scene.meshes[0]
+        assert m.tri_norm is not None
+        tilted = m.tri_norm + jnp.asarray([0.25, 0.0, 0.0])
+        tilted = tilted / jnp.linalg.norm(tilted, axis=-1, keepdims=True)
+        return dc.replace(
+            scene, meshes=(dc.replace(m, tri_norm=tilted),) + scene.meshes[1:]
+        )
+
+    _, path, res, spp = _BY_NAME["smooth_mesh_96"]
+    img = render_golden(path, res, spp, scene_perturb=perturb)
+    golden = _load_png01("smooth_mesh_96")
+    assert np.abs(img - golden).max() > MAX_ABS
+
+
+@pytest.mark.slow
+def test_golden_ward():
+    _check_golden("ward_96")
+    _, path, res, spp = _BY_NAME["ward_96"]
+    _, accum = render_golden_full(path, res, spp)
+    assert _fp32_check_named("ward_96", accum)
+
+
+@pytest.mark.slow
+def test_golden_ward_perturbation_fails():
+    """A 10% Ward roughness change fails the fp32 golden (the
+    anisotropic-lobe path is pinned)."""
+    import dataclasses as dc
+
+    def perturb(scene):
+        mats = dc.replace(
+            scene.materials, roughness=scene.materials.roughness * 1.1
+        )
+        return dc.replace(scene, materials=mats)
+
+    _, path, res, spp = _BY_NAME["ward_96"]
+    _, accum = render_golden_full(path, res, spp, scene_perturb=perturb)
+    assert not _fp32_check_named("ward_96", accum)
+
+
+@pytest.mark.slow
+def test_golden_sss():
+    _check_golden("sss_96")
+    _, path, res, spp = _BY_NAME["sss_96"]
+    _, accum = render_golden_full(path, res, spp)
+    assert _fp32_check_named("sss_96", accum)
+
+
+@pytest.mark.slow
+def test_golden_sss_perturbation_fails():
+    """A 5% reduced-scatter-coefficient change fails the fp32 golden (the
+    volumetric free-path + vol-NEE path is pinned)."""
+    import dataclasses as dc
+
+    def perturb(scene):
+        mats = dc.replace(
+            scene.materials,
+            reduced_scatter_coefficient=(
+                scene.materials.reduced_scatter_coefficient * 1.05
+            ),
+        )
+        return dc.replace(scene, materials=mats)
+
+    _, path, res, spp = _BY_NAME["sss_96"]
+    _, accum = render_golden_full(path, res, spp, scene_perturb=perturb)
+    assert not _fp32_check_named("sss_96", accum)
+
+
+@pytest.mark.slow
+def test_golden_textured_image():
+    _check_golden("textured_image_96")
+
+
+@pytest.mark.slow
+def test_golden_textured_image_perturbation_fails():
+    """Tinting the texel table visibly changes the render (the atlas
+    sampling path is pinned, incl. its differentiable-texel plumbing)."""
+    import dataclasses as dc
+
+    def perturb(scene):
+        atlas = scene.textures
+        assert atlas is not None
+        return dc.replace(
+            scene, textures=dc.replace(atlas, data=atlas.data * 0.8)
+        )
+
+    _, path, res, spp = _BY_NAME["textured_image_96"]
+    img = render_golden(path, res, spp, scene_perturb=perturb)
+    golden = _load_png01("textured_image_96")
+    assert np.abs(img - golden).max() > MAX_ABS
