@@ -7,15 +7,21 @@ every stage's HBM round-trip and the ``[N, 3]``-layout padding between
 them; here the whole bounce lives in VMEM registers as component planes,
 and the only HBM traffic is the 16 input + 19 output state planes.
 
-Scope: forward engines, fast counter-hash RNG, procedural textures.
-Mesh scenes run the **mesh-merge** variant: the nearest-triangle winner is
-computed outside by the XLA chunked-LBVH traversal and merged in as extra
-input planes, and the NEE shadow ray exits as extra output planes for its
-triangle-occlusion test (see ``bounce_fused``) — shading stays fully
-fused.  Image textures and Cook-Torrance materials fall back to the split
-path in render/common.py, which stays the source of truth — this kernel
-is a plane-for-plane transcription of those exact expressions (the test
-suite pins them equal in interpret mode).
+Scope: forward engines with the fast counter-hash RNG; every material
+feature is modeled in-plane — procedural textures and bump, the full
+BSDF set including Cook-Torrance GGX / Ward anisotropic (feature-gated),
+volumetrics with Henyey-Greenstein phase and volumetric NEE, and image
+textures via the DEFERRED-texel scheme (the kernel emits final UVs +
+atlas slots, the wrapper multiplies one bilinear texel into contrib and
+the diffuse throughput — both strictly linear in albedo).  Mesh scenes
+run the **mesh-merge** variant: the nearest-triangle winner is computed
+outside by the XLA chunked-LBVH traversal and merged in as extra input
+planes (authored vn smooth normals ride along), and the NEE shadow ray
+exits as extra output planes for its triangle-occlusion test (see
+``bounce_fused``) — shading stays fully fused.  The split path in
+render/common.py stays the source of truth — this kernel is a
+plane-for-plane transcription of those exact expressions (the test suite
+pins them equal in interpret mode).
 
 Vectors are tuples of ``[rows, 128]`` planes; the ``v*`` helpers make the
 transcription read like the [N, 3] original.  The per-geom/material/light

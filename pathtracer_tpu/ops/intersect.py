@@ -192,7 +192,7 @@ def intersect_t_sweep(rays: Rays, geoms: Geoms, t_min=T_MIN) -> jax.Array:
     return t
 
 
-def take_rows(table: jax.Array, idx: jax.Array, max_onehot: int = 8192) -> jax.Array:
+def take_rows(table: jax.Array, idx: jax.Array, max_onehot: int = 1024) -> jax.Array:
     """``table[idx]`` as a one-hot MXU contraction instead of a gather.
 
     Profiled (smooth_mesh, v5e r4): a [262k] row gather from a tiny
@@ -201,8 +201,11 @@ def take_rows(table: jax.Array, idx: jax.Array, max_onehot: int = 8192) -> jax.A
     time was gathers.  The same lookup as ``onehot[N, T] @ table[T, K]``
     is a sub-millisecond MXU matmul whose one-hot XLA fuses into the
     tiles.  fp32 HIGHEST precision => exact row values.  Integer tables
-    ride as f32 (exact to 2^24) and cast back.  Tables beyond
-    ``max_onehot`` rows fall back to the gather."""
+    ride as f32 (exact to 2^24) and cast back.  The one-hot GENERATION
+    costs O(N*T) VPU work, so beyond ``max_onehot`` rows the gather wins
+    again (measured crossover: a [4096, 3] atlas table regressed 33 ->
+    12 Mrays/s under one-hot at 262k lanes, while [320] tables win 2x)
+    — large tables fall back to the gather."""
     t_rows = table.shape[0]
     if t_rows > max_onehot:
         return jnp.take(table, idx, axis=0, mode="clip")
