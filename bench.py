@@ -42,15 +42,18 @@ FWD_BWD_MRAYS_FLOOR = 100.0  # VERDICT r3 #1: raised from 45
 # (name, scene file, resolution, spp, depth, Mrays/s floor, wavefront)
 # floors ~55% of measured; r4 start on v5e was cornell 577.4 /
 # textured_image 28.2 / smooth_mesh 7.4 / ward 109.0 / sss 81.1 — the
-# quantified split-path cliff (VERDICT r3 weak #3).  cornell/ward/sss now
-# run the full-depth fused trace kernel (megakernel engine,
-# ops/trace_pallas.py: 1019 / 309 / 221 Mrays/s measured when it landed —
-# CT/Ward/HG are modeled in-kernel since r4); the mesh/texture classes
-# keep the wavefront engine.
+# quantified split-path cliff (VERDICT r3 weak #3).  r4 end: cornell/
+# ward/sss run the full-depth fused trace kernel (1019 / 309 / 221
+# Mrays/s — CT/Ward/HG in-kernel); smooth_mesh 18.6 (gather->matmul
+# lookups + min-only occlusion + winner-normal-once; the remaining time
+# is the [N x T] Moeller-Trumbore pair tests fused into their reduces at
+# the VPU bound — see ops/accel.py); textured_image 33.9 (deferred-texel
+# fused path; the remaining time is the bilinear atlas gather, whose
+# one-hot alternative measurably loses above ~1k texels).
 SCENE_MATRIX = [
     ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, 550.0, False),
-    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 15.0, True),
-    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 4.0, True),
+    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 18.0, True),
+    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 10.0, True),
     ("ward", "scenes/ward.txt", (512, 512), 32, 8, 170.0, False),
     ("sss", "scenes/sss.txt", (512, 512), 32, 8, 120.0, False),
 ]

@@ -25,6 +25,20 @@ and dynamic stacks defeat XLA.  The TPU-native equivalent built here is a
 Same results as the dense sweep (duplicate-padded chunks cannot alter a
 nearest-hit; Morton reordering only permutes exact ties), verified in
 tests/test_accel.py.
+
+Perf status (r4, v5e): after moving every per-lane table lookup onto the
+MXU (ops/intersect.take_rows), computing the winner's normal once after
+the scan, and giving shadow rays a min-only pass, the mesh sweep's
+remaining device time IS the Moeller-Trumbore pair tests — XLA fuses
+each chunk's MT math directly into its argmin/min reduce, measured at
+~2x the naive VPU op estimate, i.e. at the compute bound of the dense
+[N rays x T tris] algorithm.  Further mesh speed requires testing fewer
+pairs (per-lane divergent culling), which r3's measurements showed does
+not pay at wavefront granularity on TPU for in-frame meshes; a
+per-lane-stack traversal is fundamentally misshapen for the VPU.  The
+practical path for big-mesh speed on this hardware is finer chunked
+culling with compacted ray queues per chunk — future work, documented
+here rather than hidden.
 """
 
 from __future__ import annotations
@@ -153,16 +167,17 @@ def _aabb_hits_any(o_obj, inv_d, lo, hi, best_t, t_min):
     return jnp.any(hit)
 
 
-def _mt_chunk(o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min, best_i, base):
-    """One 128-triangle Moeller-Trumbore pass updating (best_t, best_n,
-    best_i) — shared component-plane implementation
-    (ops.intersect.mt_chunk_planes)."""
+def _mt_chunk(o_obj, d_obj, cv0, ce1, ce2, best_t, t_min, best_i, base):
+    """One 128-triangle Moeller-Trumbore pass updating (best_t, best_i)
+    — shared component-plane implementation (mt_chunk_planes with normal
+    tracking off; the winner's normal is recovered once afterwards)."""
     from pathtracer_tpu.ops.intersect import mt_chunk_planes
 
-    return mt_chunk_planes(
-        o_obj, d_obj, cv0, ce1, ce2, best_t, best_n, t_min,
+    t, _, i = mt_chunk_planes(
+        o_obj, d_obj, cv0, ce1, ce2, best_t, None, t_min,
         best_i=best_i, base_index=base,
     )
+    return t, i
 
 
 def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4, with_index=False):
@@ -176,7 +191,6 @@ def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4, with_ind
     inv_d = _safe_recip(d_obj)
     miss = (
         jnp.full((n,), BIG, jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
         jnp.zeros((n,), jnp.int32),
     )
 
@@ -184,7 +198,7 @@ def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4, with_ind
         base = jnp.arange(accel.chunks.shape[0], dtype=jnp.int32) * chunk
 
         def body(carry, xs):
-            best_t, best_n, best_i = carry
+            best_t, best_i = carry
             ch, lo, hi, b = xs
             go = _aabb_hits_any(o_obj, inv_d, lo, hi, best_t, t_min)
             carry = jax.lax.cond(
@@ -192,7 +206,7 @@ def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4, with_ind
                 lambda c: _mt_chunk(
                     o_obj, d_obj,
                     ch[:, 0], ch[:, 1] - ch[:, 0], ch[:, 2] - ch[:, 0],
-                    c[0], c[1], t_min, c[2], b,
+                    c[0], t_min, c[1], b,
                 ),
                 lambda c: c,
                 carry,
@@ -206,7 +220,10 @@ def mesh_t_and_normal_accel(o_obj, d_obj, accel: MeshAccel, t_min=1e-4, with_ind
         o_obj, inv_d, accel.root_lo, accel.root_hi,
         jnp.full((n,), BIG, jnp.float32), t_min,
     )
-    t, nrm, idx = jax.lax.cond(root_any, traverse, lambda _: miss, None)
+    t, idx = jax.lax.cond(root_any, traverse, lambda _: miss, None)
+    from pathtracer_tpu.ops.intersect import winner_face_normal
+
+    nrm = winner_face_normal(accel.chunks.reshape(-1, 3, 3), idx)
     if with_index:
         return t, nrm, idx
     return t, nrm

@@ -278,19 +278,30 @@ def mt_chunk_planes(
     the running nearest hit ``(best_t [N], best_n [N, 3])`` — and, when
     ``best_i``/``base_index`` are given, the winning triangle index
     ``best_i [N] = base_index + argmin`` (index into the caller's
-    scan-order triangle array; used by the gradient-lean recompute)."""
+    scan-order triangle array).  ``best_n=None`` skips normal tracking
+    entirely (the winner's normal is recovered ONCE after the scan from
+    its triangle — profiled r4: the per-chunk normal one-hot was ~45% of
+    the mesh sweep's device time)."""
     t = mt_chunk_t(o_obj, d_obj, cv0, ce1, ce2, t_min)
     idx = jnp.argmin(t, axis=-1)  # [N]
     t_best_chunk = jnp.min(t, axis=-1)
-    n_chunk = jnp.cross(ce1, ce2)  # [C, 3] face normals (small)
-    n_pick = take_rows(n_chunk, idx)  # one-hot matmul, not a gather
     better = t_best_chunk < best_t
-    best_n = jnp.where(better[:, None], n_pick, best_n)
+    if best_n is not None:
+        n_chunk = jnp.cross(ce1, ce2)  # [C, 3] face normals (small)
+        n_pick = take_rows(n_chunk, idx)  # one-hot matmul, not a gather
+        best_n = jnp.where(better[:, None], n_pick, best_n)
     best_t = jnp.minimum(best_t, t_best_chunk)
     if best_i is None:
         return best_t, best_n
     best_i = jnp.where(better, base_index + idx.astype(jnp.int32), best_i)
     return best_t, best_n, best_i
+
+
+def mt_chunk_min_t(o_obj, d_obj, cv0, ce1, ce2, best_t, t_min=T_MIN):
+    """Occlusion-only Moeller-Trumbore pass: running min t, no argmin,
+    no normals (shadow rays need neither)."""
+    t = mt_chunk_t(o_obj, d_obj, cv0, ce1, ce2, t_min)
+    return jnp.minimum(best_t, jnp.min(t, axis=-1))
 
 
 def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128, with_index=False):
@@ -322,20 +333,29 @@ def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128, with_inde
 
     def body(carry, xs):
         cv0, ce1, ce2, b = xs  # [chunk, 3] each + scalar chunk base
-        return mt_chunk_planes(
-            o_obj, d_obj, cv0, ce1, ce2, carry[0], carry[1], t_min,
-            best_i=carry[2], base_index=b,
-        ), None
+        t_c, _, i_c = mt_chunk_planes(
+            o_obj, d_obj, cv0, ce1, ce2, carry[0], None, t_min,
+            best_i=carry[1], base_index=b,
+        )
+        return (t_c, i_c), None
 
     init = (
         jnp.full((n,), BIG, jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
         jnp.zeros((n,), jnp.int32),
     )
-    (best_t, best_n, best_i), _ = jax.lax.scan(body, init, (v0, e1, e2, base))
+    (best_t, best_i), _ = jax.lax.scan(body, init, (v0, e1, e2, base))
+    best_n = winner_face_normal(tri_verts, best_i)
     if with_index:
         return best_t, best_n, best_i
     return best_t, best_n
+
+
+def winner_face_normal(scan_verts, best_i):
+    """Unnormalized face normal of the winning triangle, recovered ONCE
+    from its row (identical to the per-chunk cross the scan used to
+    track: cross(v1-v0, v2-v0) of the same winner)."""
+    tri = take_rows(scan_verts, jax.lax.stop_gradient(best_i))
+    return jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
 
 
 def mesh_query(m, o_obj, d_obj, t_min=T_MIN, with_index=False):
@@ -354,6 +374,34 @@ def mesh_query(m, o_obj, d_obj, t_min=T_MIN, with_index=False):
     )
 
 
+def mesh_occlusion_t(m, o_obj, d_obj, t_min=T_MIN):
+    """Nearest-t-only mesh query for shadow rays: the chunk scan carries
+    a single running min — no argmin, no winner normal (profiled r4:
+    shadow rays paid the full hit machinery for a boolean)."""
+    tri_verts = m.accel.chunks.reshape(-1, 3, 3) if m.accel is not None else m.tri_verts
+    t_count = tri_verts.shape[0]
+    chunk = 128
+    pad = (-t_count) % chunk
+    if pad:
+        tri_verts = jnp.concatenate(
+            [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
+        )
+    tri_chunks = tri_verts.reshape(-1, chunk, 3, 3)
+    v0 = tri_chunks[:, :, 0]
+    e1 = tri_chunks[:, :, 1] - tri_chunks[:, :, 0]
+    e2 = tri_chunks[:, :, 2] - tri_chunks[:, :, 0]
+
+    def body(best_t, xs):
+        cv0, ce1, ce2 = xs
+        return mt_chunk_min_t(o_obj, d_obj, cv0, ce1, ce2, best_t, t_min), None
+
+    n = o_obj.shape[0]
+    best_t, _ = jax.lax.scan(
+        body, jnp.full((n,), BIG, jnp.float32), (v0, e1, e2)
+    )
+    return best_t
+
+
 def mesh_scan_verts(m) -> jax.Array:
     """The triangle array, ``[T', 3, 3]``, that :func:`mesh_query`'s
     ``with_index`` indices refer to (Morton scan order for accel'd
@@ -368,15 +416,27 @@ def mesh_winner_attrs(m, o_obj, d_obj, best_i):
 
     Given the winner's scan-order triangle row ``best_i [N]``, recompute
     the Moeller-Trumbore barycentrics against just that triangle (an O(N)
-    gather + recompute — never O(N*T)) and interpolate the authored
-    per-corner attributes.  Attributes are stored in FILE order; scan
-    rows map through ``accel.scan_to_file`` for accelerated meshes.
-    Returns ``(smooth_normal_obj | None, uv | None)`` (realizes the
-    reference's mesh + texture electives together, README.md:57-58)."""
+    lookup + recompute — never O(N*T)) and interpolate the authored
+    per-corner attributes.  Attributes are stored in FILE order; for
+    accelerated meshes the PERMUTATION is applied on the TABLE side
+    (``tri_verts[scan_to_file]`` — an O(T) row gather, loop-invariant
+    and hoisted by XLA) so the per-lane lookup indexes scan order
+    directly, instead of mapping every lane's index through a second
+    [N]-sized lookup (profiled r4: that mapping was ~40% of the
+    remaining mesh time).  Returns ``(smooth_normal_obj | None,
+    uv | None)`` (the reference's mesh + texture electives together,
+    README.md:57-58)."""
     idx = jax.lax.stop_gradient(best_i)
+    verts = m.tri_verts
+    norms = m.tri_norm
+    uvs = m.tri_uv
     if m.accel is not None:
-        idx = take_rows(m.accel.scan_to_file, idx)
-    tri = take_rows(m.tri_verts, idx)  # [N, 3, 3] via one-hot matmul
+        # table-side permutation: gradients through the [T] gather
+        # scatter-add back to file order exactly
+        verts = m.tri_verts[m.accel.scan_to_file]
+        norms = None if norms is None else norms[m.accel.scan_to_file]
+        uvs = None if uvs is None else uvs[m.accel.scan_to_file]
+    tri = take_rows(verts, idx)  # [N, 3, 3] via one-hot matmul
     v0 = tri[:, 0]
     e1 = tri[:, 1] - tri[:, 0]
     e2 = tri[:, 2] - tri[:, 0]
@@ -390,8 +450,8 @@ def mesh_winner_attrs(m, o_obj, d_obj, best_i):
     w0 = jnp.clip(1.0 - u - v, 0.0, 1.0)
 
     n_sm = None
-    if m.tri_norm is not None:
-        nc = take_rows(m.tri_norm, idx)  # [N, 3, 3]
+    if norms is not None:
+        nc = take_rows(norms, idx)  # [N, 3, 3]
         n_sm = (
             w0[:, None] * nc[:, 0]
             + u[:, None] * nc[:, 1]
@@ -399,8 +459,8 @@ def mesh_winner_attrs(m, o_obj, d_obj, best_i):
         )
         n_sm = n_sm / jnp.linalg.norm(n_sm, axis=-1, keepdims=True).clip(1e-12)
     uv = None
-    if m.tri_uv is not None:
-        uvc = take_rows(m.tri_uv, idx)  # [N, 3, 2]
+    if uvs is not None:
+        uvc = take_rows(uvs, idx)  # [N, 3, 2]
         uv = (
             w0[:, None] * uvc[:, 0]
             + u[:, None] * uvc[:, 1]
@@ -580,8 +640,7 @@ def mesh_only_occlusion(rays: Rays, geoms: Geoms, meshes: tuple, t_min=T_MIN):
         inv = geoms.inv_transform[m.geom_index]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, _ = mesh_query(m, o_obj, d_obj, t_min)
-        t = jnp.minimum(t, mt)
+        t = jnp.minimum(t, mesh_occlusion_t(m, o_obj, d_obj, t_min))
     return t
 
 
@@ -601,7 +660,7 @@ def occlusion_split_t(
         inv = geoms.inv_transform[m.geom_index]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, _ = mesh_query(m, o_obj, d_obj, t_min)
+        mt = mesh_occlusion_t(m, o_obj, d_obj, t_min)
         m_refr = materials.has_refractive[geoms.material_id[m.geom_index]] > 0.0
         t_op = jnp.where(m_refr, t_op, jnp.minimum(t_op, mt))
         t_re = jnp.where(m_refr, jnp.minimum(t_re, mt), t_re)
@@ -616,8 +675,7 @@ def occlusion_t(rays: Rays, geoms: Geoms, meshes: tuple = (), t_min=T_MIN) -> ja
         inv = geoms.inv_transform[m.geom_index]
         o_obj = transform_point(inv, rays.origin)
         d_obj = transform_dir(inv, rays.direction)
-        mt, _ = mesh_query(m, o_obj, d_obj, t_min)
-        t = jnp.minimum(t, mt)
+        t = jnp.minimum(t, mesh_occlusion_t(m, o_obj, d_obj, t_min))
     return t
 
 
@@ -716,9 +774,12 @@ def intersect_scene_lean(
             # copy): vertex gradients flow through this gather even when
             # the winner search traversed the LBVH
             idx = sg(mesh_tri_idx[gi])
+            verts_tab = m.tri_verts
             if m.accel is not None:
-                idx = take_rows(m.accel.scan_to_file, idx)
-            verts = take_rows(m.tri_verts, idx)  # [N, 3, 3] one-hot matmul
+                # permutation on the table side (O(T), hoisted); vertex
+                # gradients scatter-add back through it to file order
+                verts_tab = m.tri_verts[m.accel.scan_to_file]
+            verts = take_rows(verts_tab, idx)  # [N, 3, 3] one-hot matmul
             mt_re, mn = mt_single(o_obj3, d_obj3, verts, t_min)
             sel = geom_id == gi
             t_re = jnp.where(sel, mt_re, t_re)

@@ -322,15 +322,14 @@ def occlusion_scene_pallas(
     """Nearest ``t`` per shadow ray (BIG = unoccluded), meshes included."""
     t = occlusion_t_planes(rays, geoms, interpret=interpret)
     if meshes:
-        from pathtracer_tpu.ops.intersect import mesh_query
+        from pathtracer_tpu.ops.intersect import mesh_occlusion_t
         from pathtracer_tpu.ops.transforms import transform_dir, transform_point
 
         for m in meshes:
             inv = geoms.inv_transform[m.geom_index]
             o_obj = transform_point(inv, rays.origin)
             d_obj = transform_dir(inv, rays.direction)
-            mt, _ = mesh_query(m, o_obj, d_obj)
-            t = jnp.minimum(t, mt)
+            t = jnp.minimum(t, mesh_occlusion_t(m, o_obj, d_obj))
     return t
 
 

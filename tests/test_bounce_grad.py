@@ -135,15 +135,18 @@ def test_fused_backward_matches_lean(mini):
     key = jax.random.PRNGKey(7)
     n = static.resolution[0] * static.resolution[1]
     target = jnp.full((n, 3), 0.25, jnp.float32)
+    # depth 3: the interpret-mode vjp kernel's CPU compile scales with
+    # the scan unroll — d3 keeps the test's cold compile in minutes on a
+    # 2-core box while still exercising multi-bounce cotangent chaining
     base = RenderConfig(
-        wavefront=False, nee=True, max_depth=4, auto_features=False
+        wavefront=False, nee=True, max_depth=3, auto_features=False
     )
     l0, g0 = loss_and_grad(
-        params, static, target, 2, key,
+        params, static, target, 1, key,
         dataclasses.replace(base, grad_fused=False),
     )
     l1, g1 = loss_and_grad(
-        params, static, target, 2, key,
+        params, static, target, 1, key,
         dataclasses.replace(base, grad_fused=True),
     )
     assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
@@ -172,7 +175,7 @@ def test_fused_backward_nee_off(mini):
     n = static.resolution[0] * static.resolution[1]
     target = jnp.zeros((n, 3), jnp.float32)
     base = RenderConfig(
-        wavefront=False, nee=False, max_depth=3, auto_features=False
+        wavefront=False, nee=False, max_depth=2, auto_features=False
     )
     l0, g0 = loss_and_grad(
         params, static, target, 1, key,

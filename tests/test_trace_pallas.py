@@ -46,8 +46,10 @@ def test_ktrace_matches_scan(mini):
     """Radiance accumulator and measured ray count are identical between
     the one-kernel trace and the scan of per-bounce fused kernels."""
     scene = mini.scene_for_frame(0)
+    # depth 3 / spp 2: bounds the interpret-mode K-bounce unroll's CPU
+    # compile (2-core box) while covering multi-bounce state carry
     cfg = RenderConfig(
-        wavefront=False, nee=True, max_depth=4, fused=True,
+        wavefront=False, nee=True, max_depth=3, fused=True,
         iters_per_launch=2,
     )
     (a0, st0), (a1, st1) = _render_both(scene, cfg)
@@ -63,7 +65,7 @@ def test_ktrace_matches_scan_rr_and_no_nee(mini):
     engine-bookkeeping branches the kernel transcribes)."""
     scene = mini.scene_for_frame(0)
     cfg = RenderConfig(
-        wavefront=False, nee=False, max_depth=5, fused=True,
+        wavefront=False, nee=False, max_depth=3, fused=True,
         russian_roulette=True, rr_start=1, iters_per_launch=2,
     )
     (a0, st0), (a1, st1) = _render_both(scene, cfg)

@@ -13,7 +13,7 @@ from profile_trace import summarize
 warnings.simplefilter("ignore")
 scene_file = sys.argv[1]
 desc = load_scene(scene_file)
-desc = dataclasses.replace(desc, resolution=(512, 512))
+desc = dataclasses.replace(desc, resolution=(256, 256))
 scene = desc.scene_for_frame(0)
 cfg = RenderConfig(wavefront=True, nee=True, max_depth=8, iters_per_launch=8, wavefront_capacity=1<<18)
 key = jax.random.PRNGKey(0)
