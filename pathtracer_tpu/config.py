@@ -46,18 +46,20 @@ class RenderConfig:
     # None = auto: on for TPU, off elsewhere.  Forward engines only — the
     # differentiable path (render/diff.py) always uses the XLA sweep.
     fused: bool | None = None  # fully-fused bounce megakernel
-    # (ops/bounce_pallas.py).  None = auto: on whenever the pallas path is
-    # active, fast_rng is on, and the scene uses no image textures or
-    # Cook-Torrance materials (meshes ARE supported via the mesh-merge
-    # variant).  The auto path warns once when it declines for a reason
-    # the scene author controls (textures / microfacet / slow RNG).
+    # (ops/bounce_pallas.py).  None = auto (r4): on whenever the pallas
+    # path is active and fast_rng is on — meshes ride the mesh-merge
+    # variant, image textures the deferred-texel wrapper, CT/Ward/HG run
+    # in-kernel.  The only auto declines are slow RNG and the
+    # mesh+volumetric-NEE combination; both warn once.
     grad_fused: bool | None = None  # fused Pallas backward for the bounce
     # (ops/bounce_grad.py): forward = the fused megakernel, backward = a
     # Pallas kernel computing jax.vjp of the same physics in VMEM.
     # None = auto (on for TPU when the scene qualifies: analytic-only, no
-    # image textures, fast_rng, no Cook-Torrance/Ward/HG); True forces it
-    # (incl. interpret mode on CPU — tests); False pins the lean XLA
-    # backward.  See render/common.fused_diff_eligible.
+    # image textures, fast_rng; Cook-Torrance/Ward differentiate
+    # IN-KERNEL via the shared physics' feature gates, HG keeps the lean
+    # backward); True forces it (incl. interpret mode on CPU — tests);
+    # False pins the lean XLA backward.  See
+    # render/common.fused_diff_eligible.
     grad_lean: bool = False  # gradient-lean intersection: winner search
     # under stop_gradient (Pallas kernel when pallas is active), O(N)
     # differentiable recompute of the winning primitive only, and a

@@ -20,12 +20,13 @@ Gradient semantics (identical to the gradient-lean XLA path a.e.):
   boolean → zero cotangent (detached sampling);
 * the RNG planes are integer-derived → constants under vjp.
 
-One deliberate superset: the kernel always models the procedural
-texture / bump / volumetric / glossy blocks (the ``RenderConfig.features``
-defaults), so e.g. absorption coefficients get their TRUE nonzero
-gradients even when auto-trimming would have dropped the volumetric
-block from the lean graph — primal and gradient are consistent by
-construction (the split fast-primal path was not, when trimming).
+Feature parity (r5): the shared physics gates its texture / bump /
+volumetric blocks on ``cfg.features`` exactly like the split path and
+the lean graph — forward kernel, backward kernel, and lean backward all
+model the same physics for a given config (auto-trimming `volumetric`
+zeroes absorption gradients identically everywhere).  Pinning the
+default feature tuple (``auto_features=False``) restores the full
+blocks and their true gradients.
 
 Parameter gradients: each grid program accumulates its table cotangents
 into one shared SMEM row (TPU Pallas grids run sequentially on a core, so
@@ -284,7 +285,7 @@ def _fused_bwd_call(
         functools.partial(
             _bounce_bwd_kernel,
             n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
-            features=features,
+            features=features, vol_nee=vol_nee,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * 32,
@@ -295,6 +296,12 @@ def _fused_bwd_call(
         out_shape=tuple(
             [fshp] * 13 + [jax.ShapeDtypeStruct((1, krow), jnp.float32)]
         ),
+        # the in-kernel vjp's live set needs ~19M of scoped VMEM at
+        # BWD_ROWS=32 (measured: 18.89M on v5e, which OOMs the default
+        # 16M limit).  The operand windows are tiny (~1.5M double-
+        # buffered), so raising the scoped limit is free headroom out of
+        # the 128M core VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(gdata, mdata, ldata, scal, seed, *carry_planes, *cot_planes)
 
@@ -331,8 +338,9 @@ def bounce_fused_diff(
     backward = the Pallas vjp kernel.  Returns a render.common.BounceResult.
 
     Preconditions (enforced by render/common.fused_diff_eligible): analytic
-    scene (no meshes), no image textures, fast counter-hash RNG, no
-    Cook-Torrance/Ward/HG features, narrow [N, 4] medium state."""
+    scene (no meshes), no image textures, fast counter-hash RNG, no HG
+    (narrow [N, 4] medium state).  Cook-Torrance/Ward ARE in scope: the
+    shared physics' feature gates put their lobes in both kernels."""
     from pathtracer_tpu.ops.rng import key_to_seed
     from pathtracer_tpu.render.common import BounceResult
 

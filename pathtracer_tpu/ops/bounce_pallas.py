@@ -631,26 +631,39 @@ def bounce_physics(
     mat = _material_fetch(mvals, mid)
     emissive = mat["emittance"] > 0.0
 
+    # Feature gates (r5): the texture / bump / volumetric blocks used to
+    # run unconditionally ("the monolith"); with the trimmed features of
+    # a plain scene (e.g. cornell resolves to ()) they are numeric
+    # no-ops that still cost VPU flops — and ~3x that in the vjp kernel.
+    # The gates mirror render/common.py's exactly, so the fused kernels,
+    # the split path, and the lean backward all model the same physics
+    # for a given cfg.features.
+    has_tex = "texture" in features
+    has_bump = "bump" in features
+    has_vol = "volumetric" in features  # same gate as render/common.py
+    # ("hg" without "volumetric" is inert there too)
+
     # ---- procedural texture (render/common.py texture block).  The
     # < 2.5 bound excludes image-textured materials (type 3), whose
     # albedo modulation is DEFERRED to the wrapper (tex_defer): albedo
     # enters contrib and the diffuse throughput strictly linearly, so
     # the wrapper can multiply the bilinear atlas texel in afterwards —
     # the atlas gather stays outside the kernel.
-    cells = (
-        jnp.floor(p_obj[0] * mat["texture_scale"]),
-        jnp.floor(p_obj[1] * mat["texture_scale"]),
-        jnp.floor(p_obj[2] * mat["texture_scale"]),
-    )
-    checker = jnp.mod(cells[0] + cells[1] + cells[2], 2.0)
-    stripes = jnp.mod(cells[0], 2.0)
-    pattern = jnp.where(mat["texture_type"] > 1.5, stripes, checker)
-    textured = (
-        (mat["texture_type"] > 0.5)
-        & (mat["texture_type"] < 2.5)
-        & (pattern > 0.5)
-    )
-    mat["color"] = vwhere(textured, mat["texture_color2"], mat["color"])
+    if has_tex:
+        cells = (
+            jnp.floor(p_obj[0] * mat["texture_scale"]),
+            jnp.floor(p_obj[1] * mat["texture_scale"]),
+            jnp.floor(p_obj[2] * mat["texture_scale"]),
+        )
+        checker = jnp.mod(cells[0] + cells[1] + cells[2], 2.0)
+        stripes = jnp.mod(cells[0], 2.0)
+        pattern = jnp.where(mat["texture_type"] > 1.5, stripes, checker)
+        textured = (
+            (mat["texture_type"] > 0.5)
+            & (mat["texture_type"] < 2.5)
+            & (pattern > 0.5)
+        )
+        mat["color"] = vwhere(textured, mat["texture_color2"], mat["color"])
 
     tex_out = None
     if tex_defer:
@@ -698,42 +711,58 @@ def bounce_physics(
         )
 
     # ---- procedural bump (render/common.py bump block)
-    bump_on = mat["bump_scale"] > 0.0
-    t1, t2 = _not_axis_frame(normal)
-    ph1 = p_obj[0] * 12.9898 + p_obj[1] * 78.233 + p_obj[2] * 37.719
-    ph2 = p_obj[0] * 93.989 + p_obj[1] * 26.651 + p_obj[2] * 61.312
-    amp = jnp.where(bump_on, mat["bump_amp"], 0.0)
-    n_bumped = vnormalize(
-        vadd(
-            normal,
+    if has_bump:
+        bump_on = mat["bump_scale"] > 0.0
+        t1, t2 = _not_axis_frame(normal)
+        ph1 = p_obj[0] * 12.9898 + p_obj[1] * 78.233 + p_obj[2] * 37.719
+        ph2 = p_obj[0] * 93.989 + p_obj[1] * 26.651 + p_obj[2] * 61.312
+        amp = jnp.where(bump_on, mat["bump_amp"], 0.0)
+        n_bumped = vnormalize(
             vadd(
-                vscale(amp * jnp.sin(mat["bump_scale"] * ph1), t1),
-                vscale(amp * jnp.sin(mat["bump_scale"] * ph2), t2),
+                normal,
+                vadd(
+                    vscale(amp * jnp.sin(mat["bump_scale"] * ph1), t1),
+                    vscale(amp * jnp.sin(mat["bump_scale"] * ph2), t2),
+                ),
             ),
-        ),
-        1e-24,
-    )
-    normal = vwhere(bump_on, n_bumped, normal)
+            1e-24,
+        )
+        normal = vwhere(bump_on, n_bumped, normal)
 
-    # ---- volumetric free path (render/common.py)
-    free_path = jnp.where(
-        sigma_s > 0.0,
-        -jnp.log(jnp.clip(1.0 - u[8], 1e-7, 1.0)) / jnp.maximum(sigma_s, 1e-12),
-        jnp.float32(1e30),
-    )
-    vol_scatter = hit & (free_path < best_t)
-    seg = jnp.where(vol_scatter, free_path, jnp.where(hit, best_t, 0.0))
-    atten = (
-        jnp.exp(-sigma_a[0] * seg),
-        jnp.exp(-sigma_a[1] * seg),
-        jnp.exp(-sigma_a[2] * seg),
-    )
-    throughput = vmul(throughput, atten)
+    # ---- volumetric free path (render/common.py).  Gated off: vacuum
+    # transport — exactly what zero sigmas compute, minus the exp/log
+    # ops and (in the vjp kernel) their transposes.
+    if has_vol:
+        free_path = jnp.where(
+            sigma_s > 0.0,
+            -jnp.log(jnp.clip(1.0 - u[8], 1e-7, 1.0))
+            / jnp.maximum(sigma_s, 1e-12),
+            jnp.float32(1e30),
+        )
+        vol_scatter = hit & (free_path < best_t)
+        if tex_out is not None:
+            # a lane that scatters in-medium BEFORE its image-textured
+            # winner has no surface event this bounce: its contrib is the
+            # volumetric NEE term, which the split path never
+            # texel-modulates.  Retract the deferred slot so the
+            # wrapper's texel multiply is a no-op (ADVICE r4: is_img must
+            # be gated on ~vol_scatter).
+            tex_out["slot"] = jnp.where(vol_scatter, -1.0, tex_out["slot"])
+        seg = jnp.where(vol_scatter, free_path, jnp.where(hit, best_t, 0.0))
+        atten = (
+            jnp.exp(-sigma_a[0] * seg),
+            jnp.exp(-sigma_a[1] * seg),
+            jnp.exp(-sigma_a[2] * seg),
+        )
+        throughput = vmul(throughput, atten)
+        not_vs = ~vol_scatter
+    else:
+        vol_scatter = not_vs = None  # all surface events (early return below)
 
     # ---- emittance on BSDF hit (3-state emit code — see
     # render/common.BounceResult.was_specular: only state 1 counts)
     emitted = vscale(mat["emittance"], vmul(throughput, mat["color"]))
-    emit_mask = hit & emissive & (~vol_scatter)
+    emit_mask = hit & emissive & not_vs if has_vol else (hit & emissive)
     if nee:
         emit_mask = emit_mask & (
             (depth == 0) | (jnp.abs(prev_state - 1.0) < 0.5)
@@ -791,7 +820,9 @@ def bounce_physics(
         wi = vscale(1.0 / dist, to_light)
         cos_x = vdot(n_shade, wi)
         cos_y = -vdot(ln, wi)
-        diffuse_lane = hit & (~emissive) & (~sc["is_specular"]) & (~vol_scatter)
+        diffuse_lane = hit & (~emissive) & (~sc["is_specular"])
+        if has_vol:
+            diffuse_lane = diffuse_lane & not_vs
         candidate = diffuse_lane & ls["valid"] & (cos_x > 0) & (cos_y > 0)
 
         # shadow occlusion vs the analytic geoms: second unrolled geom
@@ -830,6 +861,27 @@ def bounce_physics(
         jnp.where(jnp.abs(prev_state - 2.0) < 0.5, 2.0, 1.0),
         0.0,
     )
+
+    if not has_vol:
+        # vacuum transport: surface events only (render/common.py's
+        # early return for feature-gated-off volumetrics — the medium
+        # state passes through untouched)
+        out = dict(
+            contrib=contrib,
+            next_o=sc["origin"],
+            next_d=sc["direction"],
+            thr_mult=sc["throughput_mult"],
+            terminate=(~hit) | emissive,
+            wspec=surf_state,
+            rru=u[3],
+            out_ma=sigma_a,
+            out_ms=sigma_s,
+            nee_deferred=nee_deferred,
+            tex_out=tex_out,
+        )
+        if medium_g is not None:
+            out["out_mg"] = medium_g
+        return out
 
     # ---- in-medium scatter (render/common.py tail)
     vol_pos = vadd(o, vscale(free_path, d))

@@ -120,10 +120,12 @@ def sample_atlas(atlas: TextureAtlas, tex_id: jax.Array, uv: jax.Array) -> jax.A
     ax = fx - x0
     ay = fy - y0
 
-    # profiled (textured_image, v5e r4): four [N] row gathers from the
-    # flat texel table were ~95% of the scene's device time (6.2 ms each
-    # at 65k lanes); as one-hot MXU contractions they cost sub-ms.
-    # take_rows falls back to the gather above 8192 rows (large atlases).
+    # take_rows lookup: one-hot MXU contraction for tiny tables, plain
+    # gather above its 1024-row default — the measured crossover (v5e r4,
+    # ops/intersect.take_rows docstring): a [4096, 3] atlas table
+    # REGRESSED 33 -> 12 Mrays/s under one-hot at 262k lanes, so real
+    # image atlases (>= 1024 texels) correctly keep the gather; only
+    # sub-1k-texel atlases ride the MXU.
     from pathtracer_tpu.ops.intersect import take_rows
 
     flat_table = atlas.data.reshape(K * H * W, 3)

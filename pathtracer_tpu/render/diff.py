@@ -220,7 +220,14 @@ def build_scene(params: SceneParams, static: SceneStatic) -> Scene:
             # a vertex optimization can never silently miss winners
             # (ops/accel.refresh_accel — the r3 staleness contract made
             # automatic)
-            accel=refresh_accel(_ACCEL_CACHE[k], v) if k else None,
+            # .get: a SceneStatic can outlive the process-local cache
+            # (pickled static, module reload) — a cold cache degrades to
+            # the dense sweep instead of raising (ADVICE r4)
+            accel=(
+                refresh_accel(_ACCEL_CACHE[k], v)
+                if k and _ACCEL_CACHE.get(k) is not None
+                else None
+            ),
         )
         for gi, v, k in zip(static.mesh_geom_indices, params.mesh_verts, keys)
     )

@@ -8,12 +8,11 @@ interpret-mode vjp kernel inlines one unrolled select-chain per table row
 gradient path: emittance, diffuse albedo + NEE, specular mirror, Fresnel
 dielectric, TRS transforms, and the camera.
 
-Both configs pin ``auto_features=False`` so the two graphs model the same
-physics (the fused kernel is a monolith that always includes the default
-texture/bump/volumetric/glossy blocks; letting auto-trimming drop
-`volumetric` from the lean graph would zero its absorption gradients
-while the kernel reports the true ones — a documented superset, not a
-bug).
+Both configs pin ``auto_features=False`` so the comparison runs the FULL
+default feature blocks (texture/bump/volumetric/glossy) through both
+backward implementations — since r5 the kernels gate those blocks on
+``cfg.features`` exactly like the lean graph, so either setting stays
+consistent; the pin just maximizes the physics under test.
 """
 
 import dataclasses
@@ -176,6 +175,87 @@ def test_fused_backward_nee_off(mini):
     target = jnp.zeros((n, 3), jnp.float32)
     base = RenderConfig(
         wavefront=False, nee=False, max_depth=2, auto_features=False
+    )
+    l0, g0 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=False),
+    )
+    l1, g1 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=True),
+    )
+    assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
+    f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
+    f1 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g1)])
+    scale = max(np.abs(f0).max(), 1.0)
+    np.testing.assert_allclose(f1, f0, atol=5e-4 * scale)
+
+
+@pytest.mark.slow
+def test_fused_backward_vol_nee_off():
+    """cfg.vol_nee=False must reach the BACKWARD kernel too (ADVICE r4
+    high: the flag was dropped on the bwd partial, so the backward
+    differentiated vol-NEE physics the forward never computed — silently
+    wrong gradients on scattering-media scenes)."""
+    from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
+    from pathtracer_tpu.scene.parser import parse_scene_text
+
+    vol_text = MINI_SCENE.replace(
+        "REFRIOR 1.5\nSCATTER 0\nABSCOEFF 0 0 0\nRSCTCOEFF 0",
+        "REFRIOR 1.5\nSCATTER 1\nABSCOEFF 0.25 0.12 0.05\nRSCTCOEFF 1.6",
+    )
+    desc = parse_scene_text(vol_text, name="mini_vol")
+    params, static = params_from_description(desc, 0)
+    key = jax.random.PRNGKey(11)
+    n = static.resolution[0] * static.resolution[1]
+    target = jnp.full((n, 3), 0.2, jnp.float32)
+    base = RenderConfig(
+        wavefront=False, nee=True, vol_nee=False, max_depth=3,
+        auto_features=False,
+    )
+    l0, g0 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=False),
+    )
+    l1, g1 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=True),
+    )
+    assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
+    f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
+    f1 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g1)])
+    scale = max(np.abs(f0).max(), 1.0)
+    np.testing.assert_allclose(f1, f0, atol=5e-4 * scale)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "brdf_line", ["BRDF cooktorrance 0.35", "BRDF ward 0.2 0.5"]
+)
+def test_fused_backward_ct_ward(brdf_line):
+    """Cook-Torrance/Ward scenes take the fused vjp path (the eligibility
+    gate passes them) — pin the gradients against the lean backward
+    (ADVICE r4: the docs claimed they were out of scope; they are in)."""
+    from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
+    from pathtracer_tpu.scene.parser import parse_scene_text
+
+    # the mirror sphere (material 2, REFL 1) becomes a rough CT/Ward lobe
+    # (BRDF is an extension line: it follows the fixed key block)
+    mat2_block = (
+        "REFL 1\nREFR 0\nREFRIOR 0\nSCATTER 0\nABSCOEFF 0 0 0\n"
+        "RSCTCOEFF 0\nEMITTANCE 0"
+    )
+    text = MINI_SCENE.replace(mat2_block, f"{mat2_block}\n{brdf_line}")
+    desc = parse_scene_text(text, name="mini_rough")
+    params, static = params_from_description(desc, 0)
+    key = jax.random.PRNGKey(5)
+    n = static.resolution[0] * static.resolution[1]
+    target = jnp.full((n, 3), 0.3, jnp.float32)
+    base = RenderConfig(
+        wavefront=False, nee=True, max_depth=2, auto_features=False,
+        features=(
+            "texture", "bump", "volumetric", "glossy", "microfacet", "ward"
+        ),
     )
     l0, g0 = loss_and_grad(
         params, static, target, 1, key,

@@ -301,6 +301,61 @@ def test_fused_bounce_matches_split_path_ct_ward_hg():
 
 
 @pytest.mark.slow
+def test_fused_bounce_texel_not_applied_to_vol_nee():
+    """A lane that scatters in-medium BEFORE an image-textured winner has
+    no surface event: its vol-NEE contrib must NOT be scaled by that
+    surface's texel (ADVICE r4 medium — the deferred slot is retracted on
+    vol-scatter lanes in the kernel)."""
+    import os
+
+    from pathtracer_tpu.render.common import shade_bounce
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "textured_image.txt"
+    )
+    scene = load_scene(path).scene_for_frame(0)
+    assert scene.textures is not None and not scene.meshes
+    n = 512
+    key = jax.random.PRNGKey(52)
+    o = jax.random.normal(jax.random.PRNGKey(70), (n, 3)) * 3.0
+    d = jax.random.normal(jax.random.PRNGKey(71), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(origin=o, direction=d)
+    tp = jax.random.uniform(jax.random.PRNGKey(72), (n, 3), minval=0.2, maxval=1.0)
+    si = jax.random.randint(jax.random.PRNGKey(73), (n,), 0, 10_000_000, jnp.int32)
+    dep = jax.random.randint(jax.random.PRNGKey(74), (n,), 0, 8, jnp.int32)
+    ps = jax.random.bernoulli(jax.random.PRNGKey(75), 0.3, (n,))
+    # every lane travels a dense scattering medium: a large fraction
+    # vol-scatters in front of the textured winners.  The medium state is
+    # injected (no SCATTER material in the scene), so the "volumetric"
+    # feature must be pinned — the default tuple carries it.
+    med = jnp.broadcast_to(
+        jnp.asarray([0.3, 0.2, 0.1, 2.0], jnp.float32), (n, 4)
+    )
+    base = RenderConfig(auto_features=False)
+
+    ref = shade_bounce(
+        scene, rays, tp, si, dep, ps, key,
+        dataclasses.replace(base, nee=True, pallas=False, fused=False),
+        medium_sigma=med,
+    )
+    fus = shade_bounce(
+        scene, rays, tp, si, dep, ps, key,
+        dataclasses.replace(base, nee=True, pallas=True, fused=True),
+        medium_sigma=med,
+    )
+    live = ~np.asarray(ref.terminate)
+    for f in ("contrib", "throughput_mult", "next_medium"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f))[live],
+            np.asarray(getattr(fus, f))[live],
+            rtol=6e-4, atol=1e-4,
+            err_msg=f,
+        )
+
+
+@pytest.mark.slow
 def test_fused_bounce_matches_split_path_image_textures():
     """r4: image-texture scenes run the fused kernel with the texel
     DEFERRED to the wrapper (albedo enters contrib and the diffuse
