@@ -120,26 +120,58 @@ def sample_atlas(atlas: TextureAtlas, tex_id: jax.Array, uv: jax.Array) -> jax.A
     ax = fx - x0
     ay = fy - y0
 
-    # take_rows lookup: one-hot MXU contraction for tiny tables, plain
-    # gather above its 1024-row default — the measured crossover (v5e r4,
-    # ops/intersect.take_rows docstring): a [4096, 3] atlas table
-    # REGRESSED 33 -> 12 Mrays/s under one-hot at 262k lanes, so real
-    # image atlases (>= 1024 texels) correctly keep the gather; only
-    # sub-1k-texel atlases ride the MXU.
-    from pathtracer_tpu.ops.intersect import take_rows
+    if K * H <= 1024 and W <= 128:
+        # Two-stage one-hot fetch (r5, measured on v5e at 262k lanes /
+        # 64x64 atlas: 4 row gathers 4.5 ms -> 2.7 ms, and the gathers'
+        # layout copies disappear).  Stage 1 fetches the two texture ROWS
+        # [N, W*3] as one-hot MXU contractions over the K*H row table
+        # (HIGHEST precision => exact texel values); stage 2 selects the
+        # x columns with a W-wide one-hot VPU reduce.  A full-resolution
+        # one-hot over K*H*W texels measurably LOSES above ~1k rows
+        # (ops/intersect.take_rows docstring) — factoring it as
+        # (row one-hot) x (column one-hot) keeps both factors tiny.
+        # Linear in atlas.data (texel-table gradients ride the matmul
+        # transpose, no scatter-add); the final lerp is the same formula
+        # as the gather path.
+        P = jax.lax.Precision.HIGHEST
+        flat_rows = atlas.data.reshape(K * H, W * 3)
+        h_safe = jnp.maximum(h, 1.0)
+        w_safe = jnp.maximum(w, 1.0)
 
-    flat_table = atlas.data.reshape(K * H * W, 3)
+        def row(yi):
+            yi = jnp.mod(yi, h_safe).astype(jnp.int32)
+            oh = jax.nn.one_hot(k * H + yi, K * H, dtype=jnp.float32)
+            return jnp.matmul(oh, flat_rows, precision=P).reshape(-1, W, 3)
 
-    def texel(yi, xi):
-        yi = jnp.mod(yi, jnp.maximum(h, 1.0)).astype(jnp.int32)
-        xi = jnp.mod(xi, jnp.maximum(w, 1.0)).astype(jnp.int32)
-        flat_idx = (k * H + yi) * W + xi
-        return take_rows(flat_table, flat_idx)
+        r0 = row(y0)
+        r1 = row(y0 + 1.0)
 
-    c00 = texel(y0, x0)
-    c01 = texel(y0, x0 + 1.0)
-    c10 = texel(y0 + 1.0, x0)
-    c11 = texel(y0 + 1.0, x0 + 1.0)
+        def col(r, xi):
+            xi = jnp.mod(xi, w_safe).astype(jnp.int32)
+            oh = jax.nn.one_hot(xi, W, dtype=jnp.float32)
+            return jnp.einsum("nx,nxc->nc", oh, r, precision=P)
+
+        c00 = col(r0, x0)
+        c01 = col(r0, x0 + 1.0)
+        c10 = col(r1, x0)
+        c11 = col(r1, x0 + 1.0)
+    else:
+        # large atlases: row gathers (a one-hot over the full texel count
+        # measurably loses above ~1k rows — ops/intersect.take_rows)
+        from pathtracer_tpu.ops.intersect import take_rows
+
+        flat_table = atlas.data.reshape(K * H * W, 3)
+
+        def texel(yi, xi):
+            yi = jnp.mod(yi, jnp.maximum(h, 1.0)).astype(jnp.int32)
+            xi = jnp.mod(xi, jnp.maximum(w, 1.0)).astype(jnp.int32)
+            flat_idx = (k * H + yi) * W + xi
+            return take_rows(flat_table, flat_idx)
+
+        c00 = texel(y0, x0)
+        c01 = texel(y0, x0 + 1.0)
+        c10 = texel(y0 + 1.0, x0)
+        c11 = texel(y0 + 1.0, x0 + 1.0)
     top = c00 + (c01 - c00) * ax[:, None]
     bot = c10 + (c11 - c10) * ax[:, None]
     out = top + (bot - top) * ay[:, None]
