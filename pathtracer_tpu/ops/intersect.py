@@ -343,7 +343,22 @@ def mesh_t_and_normal(o_obj, d_obj, tri_verts, t_min=T_MIN, chunk=128, with_inde
         jnp.full((n,), BIG, jnp.float32),
         jnp.zeros((n,), jnp.int32),
     )
-    (best_t, best_i), _ = jax.lax.scan(body, init, (v0, e1, e2, base))
+    if n_chunks <= 8:
+        # small meshes: ONE Moeller-Trumbore pass over the whole [N, T']
+        # t-matrix with a single min + argmin — the per-chunk scan paid a
+        # (min, argmin, select) reduce triple PER CHUNK, each re-reading
+        # a materialized [N, 128] t (measured r5: 320-tri smooth_mesh,
+        # the reduces were ~2/3 of the sweep).  Tie semantics identical:
+        # first index wins in both formulations.
+        flat = tri_verts  # [T', 3, 3], already padded
+        t_all = mt_chunk_t(
+            o_obj, d_obj, flat[:, 0], flat[:, 1] - flat[:, 0],
+            flat[:, 2] - flat[:, 0], t_min,
+        )
+        best_t = jnp.min(t_all, axis=-1)
+        best_i = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+    else:
+        (best_t, best_i), _ = jax.lax.scan(body, init, (v0, e1, e2, base))
     best_n = winner_face_normal(tri_verts, best_i)
     if with_index:
         return best_t, best_n, best_i
@@ -359,10 +374,47 @@ def winner_face_normal(scan_verts, best_i):
 
 
 def mesh_query(m, o_obj, d_obj, t_min=T_MIN, with_index=False):
-    """Nearest-triangle query for one MeshInstance: chunked-LBVH traversal
-    when the instance carries an accel (ops/accel.py), dense sweep
-    otherwise.  With ``with_index``, also returns the winning triangle's
-    row in :func:`mesh_scan_verts`' array (scan order)."""
+    """Nearest-triangle query for one MeshInstance.
+
+    On TPU, meshes whose triangle table fits SMEM run the Pallas
+    register-resident sweep (ops/mesh_pallas.py — (best_t, best_i) live
+    in VMEM, no [N, T] t-matrix, bit-identical results), wrapped in a
+    root-AABB short-circuit.  Larger meshes keep the chunked-LBVH
+    traversal (accel present) or the dense XLA sweep.  With
+    ``with_index``, also returns the winning triangle's row in
+    :func:`mesh_scan_verts`' array (scan order)."""
+    from pathtracer_tpu.ops.mesh_pallas import (
+        mesh_nearest_pallas,
+        mesh_pallas_wanted,
+    )
+
+    scan_verts = mesh_scan_verts(m)
+    if mesh_pallas_wanted(scan_verts.shape[0]):
+        from pathtracer_tpu.ops.accel import _aabb_hits_any, _safe_recip
+
+        n = o_obj.shape[0]
+        miss = (
+            jnp.full((n,), BIG, jnp.float32),
+            jnp.zeros((n,), jnp.int32),
+        )
+        if m.accel is not None:
+            lo, hi = m.accel.root_lo, m.accel.root_hi
+        else:
+            lo = jnp.min(scan_verts, axis=(0, 1))  # O(T), hoisted
+            hi = jnp.max(scan_verts, axis=(0, 1))
+        root_any = _aabb_hits_any(
+            o_obj, _safe_recip(d_obj), lo, hi, miss[0], t_min
+        )
+        t, idx = jax.lax.cond(
+            root_any,
+            lambda _: mesh_nearest_pallas(scan_verts, o_obj, d_obj, t_min),
+            lambda _: miss,
+            None,
+        )
+        nrm = winner_face_normal(scan_verts, idx)
+        if with_index:
+            return t, nrm, idx
+        return t, nrm
     if m.accel is not None:
         from pathtracer_tpu.ops.accel import mesh_t_and_normal_accel
 
@@ -377,8 +429,31 @@ def mesh_query(m, o_obj, d_obj, t_min=T_MIN, with_index=False):
 def mesh_occlusion_t(m, o_obj, d_obj, t_min=T_MIN):
     """Nearest-t-only mesh query for shadow rays: the chunk scan carries
     a single running min — no argmin, no winner normal (profiled r4:
-    shadow rays paid the full hit machinery for a boolean)."""
+    shadow rays paid the full hit machinery for a boolean).  On TPU,
+    SMEM-sized meshes run the register-resident Pallas min kernel
+    (ops/mesh_pallas.py) behind the same root-AABB short-circuit."""
     tri_verts = m.accel.chunks.reshape(-1, 3, 3) if m.accel is not None else m.tri_verts
+    from pathtracer_tpu.ops.mesh_pallas import mesh_min_pallas, mesh_pallas_wanted
+
+    if mesh_pallas_wanted(tri_verts.shape[0]):
+        from pathtracer_tpu.ops.accel import _aabb_hits_any, _safe_recip
+
+        n = o_obj.shape[0]
+        init = jnp.full((n,), BIG, jnp.float32)
+        if m.accel is not None:
+            lo, hi = m.accel.root_lo, m.accel.root_hi
+        else:
+            lo = jnp.min(tri_verts, axis=(0, 1))
+            hi = jnp.max(tri_verts, axis=(0, 1))
+        root_any = _aabb_hits_any(
+            o_obj, _safe_recip(d_obj), lo, hi, init, t_min
+        )
+        return jax.lax.cond(
+            root_any,
+            lambda _: mesh_min_pallas(tri_verts, o_obj, d_obj, t_min),
+            lambda _: init,
+            None,
+        )
     t_count = tri_verts.shape[0]
     chunk = 128
     pad = (-t_count) % chunk
@@ -396,10 +471,30 @@ def mesh_occlusion_t(m, o_obj, d_obj, t_min=T_MIN):
         return mt_chunk_min_t(o_obj, d_obj, cv0, ce1, ce2, best_t, t_min), None
 
     n = o_obj.shape[0]
-    best_t, _ = jax.lax.scan(
-        body, jnp.full((n,), BIG, jnp.float32), (v0, e1, e2)
-    )
-    return best_t
+    n_chunks = tri_chunks.shape[0]
+    init = jnp.full((n,), BIG, jnp.float32)
+
+    def sweep(_):
+        if n_chunks <= 8:  # one whole-mesh pass (see mesh_t_and_normal)
+            return mt_chunk_min_t(
+                o_obj, d_obj, tri_verts[:, 0],
+                tri_verts[:, 1] - tri_verts[:, 0],
+                tri_verts[:, 2] - tri_verts[:, 0], init, t_min,
+            )
+        best_t, _ = jax.lax.scan(body, init, (v0, e1, e2))
+        return best_t
+
+    if m.accel is not None:
+        # root-AABB short-circuit for shadow rays: most NEE shadow rays
+        # point at the light, away from a localized mesh (r5)
+        from pathtracer_tpu.ops.accel import _aabb_hits_any, _safe_recip
+
+        root_any = _aabb_hits_any(
+            o_obj, _safe_recip(d_obj), m.accel.root_lo, m.accel.root_hi,
+            init, t_min,
+        )
+        return jax.lax.cond(root_any, sweep, lambda _: init, None)
+    return sweep(None)
 
 
 def mesh_scan_verts(m) -> jax.Array:
