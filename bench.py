@@ -36,26 +36,27 @@ import jax.numpy as jnp
 NAIVE_MEGAKERNEL_R1_MRAYS = 6.4  # round-1 masked megakernel, same chip
 
 # non-blocking regression floors, ~55% of the measured numbers
-FWD_MRAYS_FLOOR = 550.0  # ktrace engine landed r4 (1019 measured)
-FWD_BWD_MRAYS_FLOOR = 100.0  # VERDICT r3 #1: raised from 45
+FWD_MRAYS_FLOOR = 630.0  # r5 feature-gated monolith (1148 measured)
+FWD_BWD_MRAYS_FLOOR = 100.0  # VERDICT r3 #1: raised from 45 (157 measured)
 
 # (name, scene file, resolution, spp, depth, Mrays/s floor, wavefront)
-# floors ~55% of measured; r4 start on v5e was cornell 577.4 /
-# textured_image 28.2 / smooth_mesh 7.4 / ward 109.0 / sss 81.1 — the
-# quantified split-path cliff (VERDICT r3 weak #3).  r4 end: cornell/
-# ward/sss run the full-depth fused trace kernel (1019 / 309 / 221
-# Mrays/s — CT/Ward/HG in-kernel); smooth_mesh 18.6 (gather->matmul
-# lookups + min-only occlusion + winner-normal-once; the remaining time
-# is the [N x T] Moeller-Trumbore pair tests fused into their reduces at
-# the VPU bound — see ops/accel.py); textured_image 33.9 (deferred-texel
-# fused path; the remaining time is the bilinear atlas gather, whose
-# one-hot alternative measurably loses above ~1k texels).
+# floors ~55% of measured.  Series on v5e: r4 start cornell 577 /
+# textured 28 / smooth_mesh 7.4 / ward 109 / sss 81; r4 end 1019 / 34 /
+# 18.6 / 309 / 221 (full-depth fused trace kernel; deferred texel;
+# gather->matmul lookups).  r5: cornell 1148 / ward 351 / sss 249 (the
+# kernels gate the texture/bump/volumetric blocks on cfg.features —
+# plain scenes stop paying for numeric no-ops); textured_image 54.5
+# (two-stage one-hot atlas fetch, ops/texture.py); smooth_mesh 35.5
+# (in-kernel SMEM triangle sweep — winner, smooth vn normals, and NEE
+# occlusion all inside the fused kernels, ops/bounce_pallas.py
+# mesh_sweep_planes; mesh scenes now ride the full-depth trace kernel
+# too).
 SCENE_MATRIX = [
-    ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, 550.0, False),
-    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 18.0, True),
-    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 10.0, True),
-    ("ward", "scenes/ward.txt", (512, 512), 32, 8, 170.0, False),
-    ("sss", "scenes/sss.txt", (512, 512), 32, 8, 120.0, False),
+    ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, 630.0, False),
+    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 30.0, True),
+    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 19.0, True),
+    ("ward", "scenes/ward.txt", (512, 512), 32, 8, 190.0, False),
+    ("sss", "scenes/sss.txt", (512, 512), 32, 8, 135.0, False),
 ]
 
 

@@ -192,6 +192,211 @@ def pack_scalars(scene: Scene) -> jax.Array:
 # kernel sub-blocks (all plane math)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# in-kernel triangle meshes (r5): SMEM tables + register-resident sweep
+# ---------------------------------------------------------------------------
+
+# total triangles across a scene's mesh instances that may ride SMEM
+# tables inside the fused kernels (flat f32 arrays: 12+9+6 scalars/tri
+# fully attributed = ~440 KB at this cap, under the 1 MB SMEM budget
+# with the geom/material/light tables on top)
+MESH_INKERNEL_MAX_TRIS = 4096
+
+
+def mesh_inkernel_eligible(meshes) -> bool:
+    """True when every mesh instance can ride the in-kernel SMEM sweep."""
+    if not meshes:
+        return False
+    return sum(m.tri_verts.shape[0] for m in meshes) <= MESH_INKERNEL_MAX_TRIS
+
+
+def pack_mesh_tables(meshes):
+    """Static descriptors + flat SMEM tables for the in-kernel sweep.
+
+    Returns ``(descs, tables)``: per mesh a ``(geom_index, n_tris,
+    has_norm, has_uv)`` static tuple and 1-3 flat float32 arrays —
+    ``[T*12]`` (v0, e1, e2, face normal), ``[T*9]`` corner shading
+    normals, ``[T*6]`` corner UVs.  FILE order (no Morton permutation:
+    the in-kernel sweep tests every triangle, so chunk culling order is
+    irrelevant)."""
+    descs = []
+    tables = []
+    for m in meshes:
+        tv = m.tri_verts
+        v0 = tv[:, 0]
+        e1 = tv[:, 1] - tv[:, 0]
+        e2 = tv[:, 2] - tv[:, 0]
+        fn = jnp.cross(e1, e2)
+        tables.append(
+            jnp.concatenate([v0, e1, e2, fn], axis=-1).reshape(-1)
+        )
+        has_norm = m.tri_norm is not None
+        has_uv = m.tri_uv is not None
+        if has_norm:
+            tables.append(jnp.asarray(m.tri_norm, jnp.float32).reshape(-1))
+        if has_uv:
+            tables.append(jnp.asarray(m.tri_uv, jnp.float32).reshape(-1))
+        descs.append(
+            (int(m.geom_index), int(tv.shape[0]), has_norm, has_uv)
+        )
+    return tuple(descs), tables
+
+
+def _obj_ray(m, o, d):
+    """Transform ray planes into a geom's object space (gvals rows)."""
+    oox = m[0] * o[0] + m[1] * o[1] + m[2] * o[2] + m[3]
+    ooy = m[4] * o[0] + m[5] * o[1] + m[6] * o[2] + m[7]
+    ooz = m[8] * o[0] + m[9] * o[1] + m[10] * o[2] + m[11]
+    odx = m[0] * d[0] + m[1] * d[1] + m[2] * d[2]
+    ody = m[4] * d[0] + m[5] * d[1] + m[6] * d[2]
+    odz = m[8] * d[0] + m[9] * d[1] + m[10] * d[2]
+    return (oox, ooy, ooz), (odx, ody, odz)
+
+
+def _mt_tri_planes(tri_ref, base, oo, od, t_min):
+    """One triangle's Moeller-Trumbore test on object-space ray planes;
+    returns ``(t_candidate, u, v)`` (BIG = miss).  Same formula order as
+    ops/intersect.mt_chunk_t / ops/mesh_pallas."""
+    v0x, v0y, v0z = tri_ref[base], tri_ref[base + 1], tri_ref[base + 2]
+    e1x, e1y, e1z = tri_ref[base + 3], tri_ref[base + 4], tri_ref[base + 5]
+    e2x, e2y, e2z = tri_ref[base + 6], tri_ref[base + 7], tri_ref[base + 8]
+    hx = od[1] * e2z - od[2] * e2y
+    hy = od[2] * e2x - od[0] * e2z
+    hz = od[0] * e2y - od[1] * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    den = jnp.where(jnp.abs(a) < 1e-12, jnp.where(a >= 0, 1e-12, -1e-12), a)
+    f = 1.0 / den
+    sx, sy, sz = oo[0] - v0x, oo[1] - v0y, oo[2] - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (od[0] * qx + od[1] * qy + od[2] * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        (jnp.abs(a) > 1e-12)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    return jnp.where(ok, t, BIG), u, v
+
+
+def mesh_sweep_planes(descs, refs, gvals, o, d, t_min, want_uv: bool):
+    """In-kernel nearest-triangle winner across all mesh instances.
+
+    ``refs``: the SMEM table refs in :func:`pack_mesh_tables` order.
+    Everything the wrapper's external ``mesh_only_hit`` produced is
+    tracked at better-time inside the fori loop — hit point, world
+    normal (smooth-interpolated where the mesh has authored vn), winner
+    material, authored UV — so the result dict is a drop-in for the
+    mesh-merge input planes."""
+    shape = o[0].shape
+    zero = jnp.zeros(shape, jnp.float32)
+    et = jnp.full(shape, BIG, jnp.float32)
+    epo = (zero, zero, zero)
+    enw = (zero, zero, zero)  # unnormalized world normal of the winner
+    emid = jnp.zeros(shape, jnp.int32)
+    uu, vv, uvv = zero, zero, zero
+    ri = 0
+    for g, n_tris, has_norm, has_uv in descs:
+        tri_ref = refs[ri]
+        ri += 1
+        nrm_ref = None
+        uv_ref = None
+        if has_norm:
+            nrm_ref = refs[ri]
+            ri += 1
+        if has_uv:
+            uv_ref = refs[ri]
+            ri += 1
+        m = gvals[g]
+        mid_g = m[13].astype(jnp.int32)
+        oo, od = _obj_ray(m, o, d)
+
+        def body(i, carry, tri_ref=tri_ref, nrm_ref=nrm_ref, uv_ref=uv_ref,
+                 m=m, mid_g=mid_g, oo=oo, od=od):
+            et, epo, enw, emid, uu, vv, uvv = carry
+            b = i * 12
+            tc, tu, tv_ = _mt_tri_planes(tri_ref, b, oo, od, t_min)
+            better = tc < et
+            # hit point (this mesh's object space)
+            npo = (oo[0] + tc * od[0], oo[1] + tc * od[1], oo[2] + tc * od[2])
+            # normal: authored smooth interp (clipped barycentrics, as
+            # ops/intersect.mesh_winner_attrs) or the face normal; world
+            # via this geom's inverse-transpose (scalar rows)
+            if nrm_ref is not None:
+                uc = jnp.clip(tu, 0.0, 1.0)
+                vc = jnp.clip(tv_, 0.0, 1.0)
+                w0 = jnp.clip(1.0 - uc - vc, 0.0, 1.0)
+                nb = i * 9
+                nx = (w0 * nrm_ref[nb] + uc * nrm_ref[nb + 3]
+                      + vc * nrm_ref[nb + 6])
+                ny = (w0 * nrm_ref[nb + 1] + uc * nrm_ref[nb + 4]
+                      + vc * nrm_ref[nb + 7])
+                nz = (w0 * nrm_ref[nb + 2] + uc * nrm_ref[nb + 5]
+                      + vc * nrm_ref[nb + 8])
+            else:
+                nx = tri_ref[b + 9]
+                ny = tri_ref[b + 10]
+                nz = tri_ref[b + 11]
+            nwx = m[0] * nx + m[4] * ny + m[8] * nz
+            nwy = m[1] * nx + m[5] * ny + m[9] * nz
+            nwz = m[2] * nx + m[6] * ny + m[10] * nz
+            et = jnp.where(better, tc, et)
+            epo = vwhere(better, npo, epo)
+            enw = vwhere(better, (nwx, nwy, nwz), enw)
+            emid = jnp.where(better, mid_g, emid)
+            if uv_ref is not None:
+                ub = i * 6
+                uc = jnp.clip(tu, 0.0, 1.0)
+                vc = jnp.clip(tv_, 0.0, 1.0)
+                w0 = jnp.clip(1.0 - uc - vc, 0.0, 1.0)
+                au = (w0 * uv_ref[ub] + uc * uv_ref[ub + 2]
+                      + vc * uv_ref[ub + 4])
+                av = (w0 * uv_ref[ub + 1] + uc * uv_ref[ub + 3]
+                      + vc * uv_ref[ub + 5])
+                uu = jnp.where(better, au, uu)
+                vv = jnp.where(better, av, vv)
+                uvv = jnp.where(better, 1.0, uvv)
+            else:
+                uvv = jnp.where(better, 0.0, uvv)
+            return et, epo, enw, emid, uu, vv, uvv
+
+        et, epo, enw, emid, uu, vv, uvv = jax.lax.fori_loop(
+            0, n_tris, body, (et, epo, enw, emid, uu, vv, uvv)
+        )
+    out = dict(
+        et=et,
+        epo=epo,
+        en=vnormalize(enw, 1e-24),
+        emid=emid,
+    )
+    if want_uv:
+        out["muv_u"] = uu
+        out["muv_v"] = vv
+        out["muvv"] = uvv
+    return out
+
+
+def mesh_occ_planes(descs, refs, gvals, x, wi, t_min):
+    """In-kernel nearest-t over all mesh triangles for shadow rays
+    (min only — no winner tracking)."""
+    occ = jnp.full(x[0].shape, BIG, jnp.float32)
+    ri = 0
+    for g, n_tris, has_norm, has_uv in descs:
+        tri_ref = refs[ri]
+        ri += 1 + (1 if has_norm else 0) + (1 if has_uv else 0)
+        oo, od = _obj_ray(gvals[g], x, wi)
+
+        def body(i, occ, tri_ref=tri_ref, oo=oo, od=od):
+            tc, _, _ = _mt_tri_planes(tri_ref, i * 12, oo, od, t_min)
+            return jnp.minimum(occ, tc)
+
+        occ = jax.lax.fori_loop(0, n_tris, body, occ)
+    return occ
+
+
 def _material_fetch(mvals, mid):
     """Unrolled select-chain material fetch -> dict of planes.
 
@@ -537,6 +742,7 @@ def bounce_physics(
     medium_g=None,
     *, nee: bool, t_min: float, features: frozenset = frozenset(),
     tex_defer: bool = False, vol_nee: bool = True,
+    mesh_hit_fn=None, mesh_occ_fn=None,
 ):
     """The ENTIRE per-bounce physics as a pure function of component
     planes and table scalar values — render/common.py's shade_bounce
@@ -565,8 +771,19 @@ def bounce_physics(
     Returns a dict: contrib(3), next_o(3), next_d(3), thr_mult(3),
     terminate, wspec (bools), rru, out_ma(3), out_ms [, out_mg], and —
     when ``mesh_in`` is given under NEE — ``nee_deferred`` (the shadow
-    ray + pending NEE term for the wrapper's triangle-occlusion test)."""
+    ray + pending NEE term for the wrapper's triangle-occlusion test).
+
+    ``mesh_hit_fn`` / ``mesh_occ_fn`` (r5, kernel-side only): zero-arg /
+    ``(x, wi)`` closures built over the in-kernel SMEM triangle tables
+    (:func:`mesh_sweep_planes` / :func:`mesh_occ_planes`).  With
+    ``mesh_hit_fn``, the mesh winner is computed INSIDE the kernel
+    (mesh_in must be None); with ``mesh_occ_fn``, the NEE shadow ray
+    tests triangles in-kernel too and nothing is deferred.  Neither is
+    passed under ``jax.vjp`` (the fused backward excludes meshes)."""
     n_geoms = len(gvals)
+    if mesh_hit_fn is not None:
+        assert mesh_in is None
+        mesh_in = mesh_hit_fn()
     mesh_merge = mesh_in is not None
 
     # ---- nearest hit (same unrolled pass as _nearest_hit_kernel)
@@ -833,6 +1050,10 @@ def bounce_physics(
         for g in range(n_geoms):
             t_g, _ = _geom_t(gvals[g], *x, *wi, t_min)
             occ_t = jnp.minimum(occ_t, t_g)
+        if mesh_occ_fn is not None:
+            # in-kernel triangle occlusion: the shadow ray sweeps the
+            # SMEM triangle tables too — nothing left to defer
+            occ_t = jnp.minimum(occ_t, mesh_occ_fn(x, wi))
         visible = occ_t >= dist - 4.0 * RAY_BIAS
 
         gterm = cos_x * cos_y / jnp.maximum(dist2, 1e-12)
@@ -841,7 +1062,7 @@ def bounce_physics(
         nee_rgb = vscale(
             nee_scale, vmul(vmul(throughput, mat["color"]), tuple(ls["emit"]))
         )
-        if mesh_merge:
+        if mesh_merge and mesh_occ_fn is None:
             # triangle occlusion of the in-kernel shadow ray can't be
             # tested here — emit the shadow ray + pending NEE term; the
             # wrapper tests mesh occlusion (XLA accel) and adds it in.
@@ -1019,19 +1240,27 @@ def _bounce_kernel(
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
     mesh_merge: bool = False, features: frozenset = frozenset(),
     tex_defer: bool = False, mesh_uv: bool = False, vol_nee: bool = True,
+    mesh_tables: tuple = (),
 ):
     # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
     # under NEE, 11 output planes; "hg" adds a medium-g input and output
-    # plane — see bounce_fused)
+    # plane; in-kernel meshes (mesh_tables) add their SMEM table refs
+    # right after the seed — see bounce_fused)
     hg = "hg" in features
     gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref = refs[:5]
+    base = 5
+    mesh_refs = ()
+    if mesh_tables:
+        n_mtab = sum(1 + int(hn) + int(hu) for _, _, hn, hu in mesh_tables)
+        mesh_refs = refs[base : base + n_mtab]
+        base += n_mtab
     (
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         tx_ref, ty_ref, tz_ref,
         sample_ref, depth_ref, pspec_ref,
         mar_ref, mag_ref, mab_ref, ms_ref,
-    ) = refs[5:21]
-    i = 21
+    ) = refs[base : base + 16]
+    i = base + 16
     mg_ref = None
     if hg:
         mg_ref = refs[i]
@@ -1091,9 +1320,19 @@ def _bounce_kernel(
     # ---- RNG (bit-identical to bounce_uniforms fast path)
     u = hash_uniforms_planes(seed_ref[0], sample, depth, 11)
 
+    gvals = read_gvals(gdata_ref, n_geoms)
+    mesh_hit_fn = mesh_occ_fn = None
+    if mesh_tables:
+        want_uv = tex_defer and any(hu for _, _, _, hu in mesh_tables)
+        mesh_hit_fn = lambda: mesh_sweep_planes(  # noqa: E731
+            mesh_tables, mesh_refs, gvals, o, d, t_min, want_uv
+        )
+        mesh_occ_fn = lambda x, wi: mesh_occ_planes(  # noqa: E731
+            mesh_tables, mesh_refs, gvals, x, wi, t_min
+        )
     out = bounce_physics(
         o, d, throughput, sigma_a, sigma_s,
-        read_gvals(gdata_ref, n_geoms),
+        gvals,
         read_mvals(mat_ref, n_materials),
         read_lvals(ldata_ref, n_geoms),
         [scal_ref[0], scal_ref[1]],
@@ -1101,6 +1340,7 @@ def _bounce_kernel(
         medium_g=(mg_ref[:] if hg else None),
         nee=nee, t_min=t_min, features=features, tex_defer=tex_defer,
         vol_nee=vol_nee,
+        mesh_hit_fn=mesh_hit_fn, mesh_occ_fn=mesh_occ_fn,
     )
 
     cr_ref[:], cg_ref[:], cb_ref[:] = out["contrib"]
@@ -1165,11 +1405,18 @@ def bounce_fused(
     tile = ROWS * LANES
     npad = -(-n // tile) * tile
     rows = npad // LANES
-    mesh_merge = bool(scene.meshes)
     features = frozenset(cfg.features)
     hg = "hg" in features
     tex_defer = scene.textures is not None
     mesh_uv = False
+    # in-kernel meshes (r5): SMEM-sized triangle tables sweep INSIDE the
+    # kernel (winner + NEE occlusion) — no external mesh_only_hit, no
+    # merge planes, no deferred NEE resolution
+    mesh_inkernel = mesh_inkernel_eligible(scene.meshes)
+    mesh_merge = bool(scene.meshes) and not mesh_inkernel
+    mesh_descs, mesh_tabs = (), []
+    if mesh_inkernel:
+        mesh_descs, mesh_tabs = pack_mesh_tables(scene.meshes)
 
     depth_arr = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (n,))
     planes = (
@@ -1254,13 +1501,14 @@ def bounce_fused(
             tex_defer=tex_defer,
             mesh_uv=mesh_uv,
             vol_nee=cfg.vol_nee,
+            mesh_tables=mesh_descs,
         ),
         grid=grid,
-        in_specs=[smem] * 5 + [plane] * n_in,
+        in_specs=[smem] * (5 + len(mesh_tabs)) + [plane] * n_in,
         out_specs=tuple([plane] * n_out),
         out_shape=tuple([fshp] * n_out),
         interpret=interpret,
-    )(gdata, mdata, ldata, scal, seed, *planes)
+    )(gdata, mdata, ldata, scal, seed, *mesh_tabs, *planes)
 
     def unp(i):
         return outs[i].reshape(-1)[:n]

@@ -18,10 +18,13 @@ called per bounce — one source of truth), same RNG planes, same alive
 masking, russian-roulette, and ray-count accounting.  The equality is
 pinned by tests/test_trace_pallas.py.
 
-Scope: analytic scenes (the mesh/texture classes take the per-bounce
-mesh-merge path).  Reference: this is the completed assignment's
-``raytraceRay`` trace loop (src/raytraceKernel.cu:123-159 + the TODO at
-:121) as one Mosaic kernel.
+Scope: analytic scenes and, since r5, triangle meshes whose tables fit
+SMEM (the in-kernel sweep, ops/bounce_pallas.mesh_sweep_planes — winner,
+smooth vn normals, and NEE occlusion all inside the loop); image-texture
+scenes take the per-bounce deferred-texel path.  Reference: this is the
+completed assignment's ``raytraceRay`` trace loop
+(src/raytraceKernel.cu:123-159 + the TODO at :121) as one Mosaic kernel,
+with the MESH branch (:144-145) filled in-kernel.
 """
 
 from __future__ import annotations
@@ -36,8 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 from pathtracer_tpu.ops.bounce_pallas import (
     bounce_physics,
     hash_uniforms_planes,
+    mesh_inkernel_eligible,
+    mesh_occ_planes,
+    mesh_sweep_planes,
     pack_light_table,
     pack_material_table,
+    pack_mesh_tables,
     pack_scalars,
     read_gvals,
     read_lvals,
@@ -52,14 +59,23 @@ TRACE_ROWS = 32  # rows per program: the full bounce loop keeps ~20 state
 
 
 def _trace_kernel(
-    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref, nvalid_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, sample_ref,
-    rr_ref, rg_ref, rb_ref, nrays_ref,
-    *,
+    *refs,
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
     max_depth: int, rr: bool, rr_start: int,
     features: frozenset = frozenset(), vol_nee: bool = True,
+    mesh_tables: tuple = (),
 ):
+    gdata_ref, mat_ref, ldata_ref, scal_ref, seed_ref, nvalid_ref = refs[:6]
+    base = 6
+    mesh_refs = ()
+    if mesh_tables:
+        n_mtab = sum(1 + int(hn) + int(hu) for _, _, hn, hu in mesh_tables)
+        mesh_refs = refs[base : base + n_mtab]
+        base += n_mtab
+    (
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, sample_ref,
+        rr_ref, rg_ref, rb_ref, nrays_ref,
+    ) = refs[base : base + 11]
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     sample = sample_ref[:]
@@ -95,11 +111,24 @@ def _trace_kernel(
         depth = jnp.full(shape, dep, jnp.int32)
         nrays = nrays + jnp.sum(alive.astype(jnp.float32)) * ray_mult
         u = hash_uniforms_planes(seed, sample, depth, 11)
+        mesh_hit_fn = mesh_occ_fn = None
+        if mesh_tables:
+            # closures over THIS bounce's ray planes (o/d change per
+            # depth); the SMEM triangle tables are loop-invariant
+            mesh_hit_fn = functools.partial(
+                mesh_sweep_planes,
+                mesh_tables, mesh_refs, gvals, o, d, t_min, False,
+            )
+            mesh_occ_fn = functools.partial(
+                mesh_occ_planes, mesh_tables, mesh_refs, gvals,
+                t_min=t_min,
+            )
         out = bounce_physics(
             o, d, throughput, sigma_a, sigma_s,
             gvals, mvals, lvals, svals,
             u, depth, prev_state, None, medium_g=medium_g,
             nee=nee, t_min=t_min, features=features, vol_nee=vol_nee,
+            mesh_hit_fn=mesh_hit_fn, mesh_occ_fn=mesh_occ_fn,
         )
         for c in range(3):
             radiance[c] = radiance[c] + jnp.where(
@@ -146,17 +175,28 @@ def _trace_kernel(
 
 
 def fused_trace_eligible(scene, cfg) -> bool:
-    """Scene scope of the one-kernel trace: analytic geoms only (the
-    mesh classes need the per-bounce mesh-merge path) and no image
-    textures (atlas gathers stay outside kernels), with the counter-hash
-    RNG.  Every material feature — procedural textures, bump,
-    volumetrics, glossy, Cook-Torrance, Ward, Henyey-Greenstein — is
-    modeled in-kernel.  (Config knobs — engine choice, debug — are the
-    caller's business.)"""
+    """Scene scope of the one-kernel trace: no image textures (atlas
+    gathers stay outside kernels — those scenes take the per-bounce
+    deferred-texel path), counter-hash RNG, and meshes only when their
+    triangle tables fit SMEM (r5: the in-kernel sweep —
+    ops/bounce_pallas.mesh_sweep_planes — handles winner, smooth
+    normals, and NEE occlusion; bigger meshes take the per-bounce
+    mesh-merge path with the chunked LBVH outside).  Every material
+    feature — procedural textures, bump, volumetrics, glossy,
+    Cook-Torrance, Ward, Henyey-Greenstein — is modeled in-kernel.
+    (Config knobs — engine choice, debug — are the caller's business.)"""
     if not cfg.fast_rng:
         return False
-    if scene.meshes or scene.textures is not None:
+    if scene.textures is not None:
         return False
+    if scene.meshes:
+        if not mesh_inkernel_eligible(scene.meshes):
+            return False
+        # mesh + scattering media + NEE: volumetric NEE's refractive
+        # split over triangles is not modeled in-kernel (same gate as
+        # render/common.py's per-bounce path)
+        if "volumetric" in cfg.features and cfg.nee and cfg.vol_nee:
+            return False
     return True
 
 
@@ -164,14 +204,14 @@ def fused_trace_eligible(scene, cfg) -> bool:
     jax.jit,
     static_argnames=(
         "n_geoms", "n_materials", "nee", "max_depth", "rr", "rr_start",
-        "features", "vol_nee", "interpret",
+        "features", "vol_nee", "interpret", "mesh_descs",
     ),
 )
 def _trace_call(
     gdata, mdata, ldata, scal, seed,
-    origin, direction, sample_idx,
+    origin, direction, sample_idx, mesh_tabs,
     *, n_geoms, n_materials, nee, max_depth, rr, rr_start, features,
-    vol_nee, interpret,
+    vol_nee, interpret, mesh_descs=(),
 ):
     n = origin.shape[0]
     tile = TRACE_ROWS * LANES
@@ -204,10 +244,10 @@ def _trace_call(
             _trace_kernel,
             n_geoms=n_geoms, n_materials=n_materials, nee=nee, t_min=T_MIN,
             max_depth=max_depth, rr=rr, rr_start=rr_start,
-            features=features, vol_nee=vol_nee,
+            features=features, vol_nee=vol_nee, mesh_tables=mesh_descs,
         ),
         grid=grid,
-        in_specs=[smem] * 6 + [plane] * 7,
+        in_specs=[smem] * (6 + len(mesh_tabs)) + [plane] * 7,
         out_specs=(
             plane, plane, plane,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -217,7 +257,7 @@ def _trace_call(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(gdata, mdata, ldata, scal, seed, nvalid, *planes)
+    )(gdata, mdata, ldata, scal, seed, nvalid, *mesh_tabs, *planes)
     radiance = jnp.stack(
         [outs[c].reshape(-1)[:n] for c in range(3)], axis=-1
     )
@@ -232,13 +272,16 @@ def trace_fused(scene, rays, sample_idx, base_key, cfg):
 
     interpret = jax.default_backend() != "tpu"
     seed = key_to_seed(base_key).reshape(1)
+    mesh_descs, mesh_tabs = (), []
+    if scene.meshes:
+        mesh_descs, mesh_tabs = pack_mesh_tables(scene.meshes)
     return _trace_call(
         _pack_gdata(scene.geoms),
         pack_material_table(scene.materials),
         pack_light_table(scene.geoms, scene.materials),
         pack_scalars(scene),
         seed,
-        rays.origin, rays.direction, sample_idx,
+        rays.origin, rays.direction, sample_idx, mesh_tabs,
         n_geoms=scene.geoms.count,
         n_materials=scene.materials.count,
         nee=cfg.nee,
@@ -248,4 +291,5 @@ def trace_fused(scene, rays, sample_idx, base_key, cfg):
         features=frozenset(cfg.features),
         vol_nee=cfg.vol_nee,
         interpret=interpret,
+        mesh_descs=mesh_descs,
     )

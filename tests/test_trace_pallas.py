@@ -75,6 +75,33 @@ def test_ktrace_matches_scan_rr_and_no_nee(mini):
     assert st0["rays_traced"] == st1["rays_traced"]
 
 
+@pytest.mark.slow
+def test_ktrace_matches_scan_mesh():
+    """r5: SMEM-sized triangle meshes run INSIDE the one-kernel trace
+    (in-kernel sweep incl. smooth vn normals + NEE occlusion) — equal to
+    the per-bounce scan whose fused kernel uses the same sweep."""
+    import os
+
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "smooth_mesh.txt"
+    )
+    desc = load_scene(path)
+    desc = dataclasses.replace(desc, resolution=(24, 24))
+    scene = desc.scene_for_frame(0)
+    assert scene.meshes
+    cfg = RenderConfig(
+        wavefront=False, nee=True, max_depth=2, fused=True,
+        iters_per_launch=1,
+    )
+    (a0, st0), (a1, st1) = _render_both(scene, cfg, spp=1)
+    np.testing.assert_allclose(
+        np.asarray(a1), np.asarray(a0), rtol=2e-6, atol=2e-6
+    )
+    assert st0["rays_traced"] == st1["rays_traced"]
+
+
 def test_ktrace_eligibility(cornell):
     from pathtracer_tpu.ops.trace_pallas import fused_trace_eligible
 
