@@ -397,6 +397,38 @@ def mesh_occ_planes(descs, refs, gvals, x, wi, t_min):
     return occ
 
 
+def mesh_occ_split_planes(descs, refs, gvals, mvals, x, wi, t_min):
+    """In-kernel ``(t_opaque, t_refractive)`` over all mesh triangles —
+    the volumetric-NEE occlusion split (ops/intersect.occlusion_split_t's
+    mesh tail): a mesh whose material is refractive bounds the attenuated
+    segment instead of blocking."""
+    occ_op = jnp.full(x[0].shape, BIG, jnp.float32)
+    occ_re = jnp.full(x[0].shape, BIG, jnp.float32)
+    n_materials = len(mvals)
+    ri = 0
+    for g, n_tris, has_norm, has_uv in descs:
+        tri_ref = refs[ri]
+        ri += 1 + (1 if has_norm else 0) + (1 if has_uv else 0)
+        gv = gvals[g]
+        refr_g = jnp.float32(0.0)
+        for m in range(n_materials):
+            refr_g = jnp.where(
+                gv[13].astype(jnp.int32) == m, mvals[m][7], refr_g
+            )
+        oo, od = _obj_ray(gv, x, wi)
+
+        def body(i, occ, tri_ref=tri_ref, oo=oo, od=od):
+            tc, _, _ = _mt_tri_planes(tri_ref, i * 12, oo, od, t_min)
+            return jnp.minimum(occ, tc)
+
+        mt = jax.lax.fori_loop(
+            0, n_tris, body, jnp.full(x[0].shape, BIG, jnp.float32)
+        )
+        occ_op = jnp.minimum(occ_op, jnp.where(refr_g > 0.0, BIG, mt))
+        occ_re = jnp.minimum(occ_re, jnp.where(refr_g > 0.0, mt, BIG))
+    return occ_op, occ_re
+
+
 def _material_fetch(mvals, mid):
     """Unrolled select-chain material fetch -> dict of planes.
 
@@ -742,7 +774,7 @@ def bounce_physics(
     medium_g=None,
     *, nee: bool, t_min: float, features: frozenset = frozenset(),
     tex_defer: bool = False, vol_nee: bool = True,
-    mesh_hit_fn=None, mesh_occ_fn=None,
+    mesh_hit_fn=None, mesh_occ_fn=None, mesh_occ_split_fn=None,
 ):
     """The ENTIRE per-bounce physics as a pure function of component
     planes and table scalar values — render/common.py's shade_bounce
@@ -1136,10 +1168,11 @@ def bounce_physics(
     # ---- volumetric NEE (render/common.py): direct light at the
     # scatter point, phase-weighted, straight-line transmittance;
     # refractive interfaces bound the attenuated segment but do not
-    # block.  Non-mesh scenes only (mesh scenes with volumetric media
-    # take the split path — gated in render/common.py).
+    # block.  Mesh scenes participate when their triangle occlusion
+    # (refractive/opaque split) runs in-kernel (mesh_occ_split_fn);
+    # merge-plane mesh scenes take the split path (render/common.py).
     vol_state = jnp.full(o[0].shape, 1.0, jnp.float32)
-    if nee and vol_nee and not mesh_merge:
+    if nee and vol_nee and (not mesh_merge or mesh_occ_split_fn is not None):
         n_materials = len(mvals)
         to_l = vsub(lp, vol_pos)
         d2v = vdot(to_l, to_l)
@@ -1160,6 +1193,10 @@ def bounce_physics(
             t_g, _ = _geom_t(gvals[g], *vol_pos, *wiv, t_min)
             occ_op = jnp.minimum(occ_op, jnp.where(refr_g > 0.0, BIG, t_g))
             occ_re = jnp.minimum(occ_re, jnp.where(refr_g > 0.0, t_g, BIG))
+        if mesh_occ_split_fn is not None:
+            m_op, m_re = mesh_occ_split_fn(vol_pos, wiv)
+            occ_op = jnp.minimum(occ_op, m_op)
+            occ_re = jnp.minimum(occ_re, m_re)
         visible_v = occ_op >= distv - 4.0 * RAY_BIAS
         seg_v = jnp.minimum(occ_re, distv)
         transmit = (
@@ -1321,7 +1358,8 @@ def _bounce_kernel(
     u = hash_uniforms_planes(seed_ref[0], sample, depth, 11)
 
     gvals = read_gvals(gdata_ref, n_geoms)
-    mesh_hit_fn = mesh_occ_fn = None
+    mvals = read_mvals(mat_ref, n_materials)
+    mesh_hit_fn = mesh_occ_fn = mesh_occ_split_fn = None
     if mesh_tables:
         want_uv = tex_defer and any(hu for _, _, _, hu in mesh_tables)
         mesh_hit_fn = lambda: mesh_sweep_planes(  # noqa: E731
@@ -1330,10 +1368,13 @@ def _bounce_kernel(
         mesh_occ_fn = lambda x, wi: mesh_occ_planes(  # noqa: E731
             mesh_tables, mesh_refs, gvals, x, wi, t_min
         )
+        mesh_occ_split_fn = lambda x, wi: mesh_occ_split_planes(  # noqa: E731
+            mesh_tables, mesh_refs, gvals, mvals, x, wi, t_min
+        )
     out = bounce_physics(
         o, d, throughput, sigma_a, sigma_s,
         gvals,
-        read_mvals(mat_ref, n_materials),
+        mvals,
         read_lvals(ldata_ref, n_geoms),
         [scal_ref[0], scal_ref[1]],
         u, depth, prev_state, mesh_in,
@@ -1341,6 +1382,7 @@ def _bounce_kernel(
         nee=nee, t_min=t_min, features=features, tex_defer=tex_defer,
         vol_nee=vol_nee,
         mesh_hit_fn=mesh_hit_fn, mesh_occ_fn=mesh_occ_fn,
+        mesh_occ_split_fn=mesh_occ_split_fn,
     )
 
     cr_ref[:], cg_ref[:], cb_ref[:] = out["contrib"]

@@ -41,6 +41,7 @@ from pathtracer_tpu.ops.bounce_pallas import (
     hash_uniforms_planes,
     mesh_inkernel_eligible,
     mesh_occ_planes,
+    mesh_occ_split_planes,
     mesh_sweep_planes,
     pack_light_table,
     pack_material_table,
@@ -111,7 +112,7 @@ def _trace_kernel(
         depth = jnp.full(shape, dep, jnp.int32)
         nrays = nrays + jnp.sum(alive.astype(jnp.float32)) * ray_mult
         u = hash_uniforms_planes(seed, sample, depth, 11)
-        mesh_hit_fn = mesh_occ_fn = None
+        mesh_hit_fn = mesh_occ_fn = mesh_occ_split_fn = None
         if mesh_tables:
             # closures over THIS bounce's ray planes (o/d change per
             # depth); the SMEM triangle tables are loop-invariant
@@ -123,12 +124,17 @@ def _trace_kernel(
                 mesh_occ_planes, mesh_tables, mesh_refs, gvals,
                 t_min=t_min,
             )
+            mesh_occ_split_fn = functools.partial(
+                mesh_occ_split_planes, mesh_tables, mesh_refs, gvals,
+                mvals, t_min=t_min,
+            )
         out = bounce_physics(
             o, d, throughput, sigma_a, sigma_s,
             gvals, mvals, lvals, svals,
             u, depth, prev_state, None, medium_g=medium_g,
             nee=nee, t_min=t_min, features=features, vol_nee=vol_nee,
             mesh_hit_fn=mesh_hit_fn, mesh_occ_fn=mesh_occ_fn,
+            mesh_occ_split_fn=mesh_occ_split_fn,
         )
         for c in range(3):
             radiance[c] = radiance[c] + jnp.where(
@@ -189,14 +195,8 @@ def fused_trace_eligible(scene, cfg) -> bool:
         return False
     if scene.textures is not None:
         return False
-    if scene.meshes:
-        if not mesh_inkernel_eligible(scene.meshes):
-            return False
-        # mesh + scattering media + NEE: volumetric NEE's refractive
-        # split over triangles is not modeled in-kernel (same gate as
-        # render/common.py's per-bounce path)
-        if "volumetric" in cfg.features and cfg.nee and cfg.vol_nee:
-            return False
+    if scene.meshes and not mesh_inkernel_eligible(scene.meshes):
+        return False
     return True
 
 

@@ -129,10 +129,15 @@ def shade_bounce(
     if cfg.grad_lean:
         use_fused = False  # the fused kernel has no gradient path
     # volumetric NEE's refractive-aware occlusion of MESH boundaries is
-    # not plumbed through the mesh-merge deferral — scenes with both
-    # triangle meshes and scattering media take the split path under NEE
+    # not plumbed through the mesh-merge DEFERRAL — big-mesh scenes with
+    # scattering media take the split path under NEE.  SMEM-sized meshes
+    # run the refractive/opaque triangle split IN-KERNEL
+    # (ops/bounce_pallas.mesh_occ_split_planes) and stay fused.
+    from pathtracer_tpu.ops.bounce_pallas import mesh_inkernel_eligible
+
     vol_mesh = (
         bool(scene.meshes)
+        and not mesh_inkernel_eligible(scene.meshes)
         and "volumetric" in cfg.features
         and cfg.nee
         and cfg.vol_nee

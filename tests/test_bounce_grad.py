@@ -204,14 +204,20 @@ def test_fused_backward_vol_nee_off():
         "REFRIOR 1.5\nSCATTER 0\nABSCOEFF 0 0 0\nRSCTCOEFF 0",
         "REFRIOR 1.5\nSCATTER 1\nABSCOEFF 0.25 0.12 0.05\nRSCTCOEFF 1.6",
     )
+    import dataclasses as _dc
+
     desc = parse_scene_text(vol_text, name="mini_vol")
+    desc = _dc.replace(desc, resolution=(24, 24))
     params, static = params_from_description(desc, 0)
     key = jax.random.PRNGKey(11)
     n = static.resolution[0] * static.resolution[1]
     target = jnp.full((n, 3), 0.2, jnp.float32)
+    # features trimmed to the block under test ("volumetric") — the full
+    # default tuple made the lean backward's interpret/CPU compile take
+    # tens of minutes; depth 2 covers enter-medium -> in-medium scatter
     base = RenderConfig(
-        wavefront=False, nee=True, vol_nee=False, max_depth=3,
-        auto_features=False,
+        wavefront=False, nee=True, vol_nee=False, max_depth=2,
+        auto_features=False, features=("volumetric",),
     )
     l0, g0 = loss_and_grad(
         params, static, target, 1, key,
@@ -246,16 +252,18 @@ def test_fused_backward_ct_ward(brdf_line):
         "RSCTCOEFF 0\nEMITTANCE 0"
     )
     text = MINI_SCENE.replace(mat2_block, f"{mat2_block}\n{brdf_line}")
+    import dataclasses as _dc
+
     desc = parse_scene_text(text, name="mini_rough")
+    desc = _dc.replace(desc, resolution=(24, 24))
     params, static = params_from_description(desc, 0)
     key = jax.random.PRNGKey(5)
     n = static.resolution[0] * static.resolution[1]
     target = jnp.full((n, 3), 0.3, jnp.float32)
+    # features trimmed to the lobes under test (see vol_nee_off note)
     base = RenderConfig(
         wavefront=False, nee=True, max_depth=2, auto_features=False,
-        features=(
-            "texture", "bump", "volumetric", "glossy", "microfacet", "ward"
-        ),
+        features=("glossy", "microfacet", "ward"),
     )
     l0, g0 = loss_and_grad(
         params, static, target, 1, key,

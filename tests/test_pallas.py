@@ -301,6 +301,59 @@ def test_fused_bounce_matches_split_path_ct_ward_hg():
 
 
 @pytest.mark.slow
+def test_fused_bounce_mesh_vol_nee_matches_split_path():
+    """r5: mesh scenes with scattering media stay FUSED — the volumetric
+    NEE shadow ray's refractive/opaque triangle split runs in-kernel
+    (mesh_occ_split_planes) instead of forcing the split path."""
+    import os
+
+    from pathtracer_tpu.render.common import shade_bounce
+    from pathtracer_tpu.scene.parser import load_scene
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scenes", "smooth_mesh.txt"
+    )
+    scene = load_scene(path).scene_for_frame(0)
+    assert scene.meshes
+    n = 512
+    key = jax.random.PRNGKey(53)
+    o = jax.random.normal(jax.random.PRNGKey(80), (n, 3)) * 3.0
+    d = jax.random.normal(jax.random.PRNGKey(81), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(origin=o, direction=d)
+    tp = jax.random.uniform(jax.random.PRNGKey(82), (n, 3), minval=0.2, maxval=1.0)
+    si = jax.random.randint(jax.random.PRNGKey(83), (n,), 0, 10_000_000, jnp.int32)
+    dep = jax.random.randint(jax.random.PRNGKey(84), (n,), 0, 8, jnp.int32)
+    ps = jax.random.bernoulli(jax.random.PRNGKey(85), 0.3, (n,))
+    # dense scattering medium on every lane (injected — pin the default
+    # feature tuple so both paths model volumetrics)
+    med = jnp.broadcast_to(
+        jnp.asarray([0.2, 0.15, 0.1, 1.5], jnp.float32), (n, 4)
+    )
+    base = RenderConfig(auto_features=False)
+
+    ref = shade_bounce(
+        scene, rays, tp, si, dep, ps, key,
+        dataclasses.replace(base, nee=True, pallas=False, fused=False),
+        medium_sigma=med,
+    )
+    fus = shade_bounce(
+        scene, rays, tp, si, dep, ps, key,
+        dataclasses.replace(base, nee=True, pallas=True, fused=True),
+        medium_sigma=med,
+    )
+    live = ~np.asarray(ref.terminate)
+    for f in ("contrib", "next_origin", "next_direction",
+              "throughput_mult", "next_medium"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f))[live],
+            np.asarray(getattr(fus, f))[live],
+            rtol=6e-4, atol=1e-4,
+            err_msg=f,
+        )
+
+
+@pytest.mark.slow
 def test_fused_bounce_texel_not_applied_to_vol_nee():
     """A lane that scatters in-medium BEFORE an image-textured winner has
     no surface event: its vol-NEE contrib must NOT be scaled by that
