@@ -99,20 +99,21 @@ def _bounce_bwd_kernel(
         sample_ref, depth_ref, pspec_ref,
         mar_ref, mag_ref, mab_ref, ms_ref,
     ) = refs[5:21]
+    rgid_ref, radd_ref = refs[21:23]
     (
         gcr_ref, gcg_ref, gcb_ref,
         gnox_ref, gnoy_ref, gnoz_ref,
         gndx_ref, gndy_ref, gndz_ref,
         gtmr_ref, gtmg_ref, gtmb_ref,
         gomr_ref, gomg_ref, gomb_ref, goms_ref,
-    ) = refs[21:37]
+    ) = refs[23:39]
     (
         dox_ref, doy_ref, doz_ref,
         ddx_ref, ddy_ref, ddz_ref,
         dtx_ref, dty_ref, dtz_ref,
         dmar_ref, dmag_ref, dmab_ref, dms_ref,
-    ) = refs[37:50]
-    dtab_ref = refs[50]
+    ) = refs[39:52]
+    dtab_ref = refs[52]
 
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -131,11 +132,16 @@ def _bounce_bwd_kernel(
     lvals = read_lvals(ldata_ref, n_geoms)
     svals = [scal_ref[0], scal_ref[1]]
 
+    # winner/visibility replay (forward-resolved discrete outcomes): the
+    # vjp's recompute intersects only the winning geom and skips the NEE
+    # occlusion sweep — gradient-exact, see bounce_physics
+    replay = {"gid": rgid_ref[:], "nee_add": radd_ref[:]}
+
     def f(o, d, thr, sa, ss, gvals, mvals, lvals, svals):
         out = bounce_physics(
             o, d, thr, sa, ss, gvals, mvals, lvals, svals,
             u, depth, prev_state, None, nee=nee, t_min=t_min,
-            features=features, vol_nee=vol_nee,
+            features=features, vol_nee=vol_nee, replay=replay,
         )
         return (
             out["contrib"], out["next_o"], out["next_d"], out["thr_mult"],
@@ -199,7 +205,9 @@ def _fused_fwd_call(
 ):
     """Non-mesh forward pallas_call of ``_bounce_kernel`` -> tuple of [N]
     arrays ``(contrib, next_o, next_d, thr_mult, next_med4, term, wspec,
-    rru)``."""
+    rru, replay_gid, replay_nee_add)`` — the last two are the winner /
+    NEE-visibility replay planes the backward kernel consumes (see
+    bounce_physics' winner-replay docs)."""
     n = origin.shape[0]
     tile = ROWS * LANES
     npad = -(-n // tile) * tile
@@ -220,12 +228,12 @@ def _fused_fwd_call(
             _bounce_kernel,
             n_geoms=n_geoms, n_materials=n_materials,
             nee=nee, t_min=T_MIN, mesh_merge=False, features=features,
-            vol_nee=vol_nee,
+            vol_nee=vol_nee, emit_replay=True,
         ),
         grid=grid,
         in_specs=[smem] * 5 + [plane] * 16,
-        out_specs=tuple([plane] * 19),
-        out_shape=tuple([fshp] * 19),
+        out_specs=tuple([plane] * 21),
+        out_shape=tuple([fshp] * 21),
         interpret=interpret,
     )(gdata, mdata, ldata, scal, seed, *planes)
 
@@ -244,6 +252,8 @@ def _fused_fwd_call(
         unp(12) > 0.5,  # terminate
         unp(13),  # emit-state code
         unp(14),  # rr_uniform
+        unp(19),  # replay_gid
+        unp(20),  # replay_nee_add
     )
 
 
@@ -251,6 +261,7 @@ def _fused_bwd_call(
     gdata, mdata, ldata, scal, seed,
     origin, direction, throughput, med4,
     sample_idx, depth_arr, prev_specular,
+    replay_gid, replay_nee_add,
     g_contrib, g_next_o, g_next_d, g_thr_mult, g_med4,
     *, n_geoms, n_materials, nee, features, vol_nee, interpret,
 ):
@@ -268,6 +279,11 @@ def _fused_bwd_call(
         + _pad_to_planes(depth_arr, npad)
         + _pad_to_planes(prev_specular.astype(jnp.float32), npad)
         + _pad_to_planes(med4, npad)
+        # pad lanes replay as MISS (-1): their zero cotangents already
+        # nullify any contribution, this keeps their recompute on the
+        # trivially-finite path
+        + _pad_to_planes(replay_gid, npad, pad_value=-1.0)
+        + _pad_to_planes(replay_nee_add, npad)
     )
     # cotangents pad with ZEROS: a vjp is linear in the cotangent, so the
     # pad lanes contribute exactly nothing to the table gradients
@@ -288,7 +304,7 @@ def _fused_bwd_call(
             features=features, vol_nee=vol_nee,
         ),
         grid=grid,
-        in_specs=[smem] * 5 + [plane] * 32,
+        in_specs=[smem] * 5 + [plane] * 34,
         out_specs=tuple(
             [plane] * 13
             + [pl.BlockSpec((1, krow), lambda i: (0, 0), memory_space=pltpu.SMEM)]
@@ -376,18 +392,28 @@ def bounce_fused_diff(
             gdata, mdata, ldata, scal, o, d, thr, med4,
             sample_idx, depth_arr, pspec, seed,
         )
-        res = (gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed)
+        # out[8:10] (replay_gid / replay_nee_add): forward-resolved
+        # discrete outcomes saved as residuals — the backward kernel
+        # replays them to skip the argmin + occlusion sweeps
+        res = (
+            gdata, mdata, ldata, scal, o, d, thr, med4,
+            sample_idx, depth_arr, pspec, seed, out[8], out[9],
+        )
         return out, res
 
     def inner_bwd(res, g):
-        gdata, mdata, ldata, scal, o, d, thr, med4, sample_idx, depth_arr, pspec, seed = res
+        (
+            gdata, mdata, ldata, scal, o, d, thr, med4,
+            sample_idx, depth_arr, pspec, seed, rgid, radd,
+        ) = res
         g_contrib, g_no, g_nd, g_tm, g_med = g[0], g[1], g[2], g[3], g[4]
         # g[5:8] — terminate / was_specular / rr_uniform cotangents: the
         # first two are boolean (float0), rr is raw RNG (du/dparams = 0);
-        # all correctly ignored.
+        # all correctly ignored.  g[8:10] — the replay planes are
+        # RNG/comparison-derived (zero cotangent), likewise ignored.
         d_gdata, d_mdata, d_ldata, d_scal, d_o, d_d, d_thr, d_med4 = _fused_bwd_call(
             gdata, mdata, ldata, scal, seed, o, d, thr, med4,
-            sample_idx, depth_arr, pspec,
+            sample_idx, depth_arr, pspec, rgid, radd,
             g_contrib, g_no, g_nd, g_tm, g_med,
             n_geoms=n_geoms, n_materials=n_materials,
             nee=cfg.nee, features=features, vol_nee=cfg.vol_nee,
@@ -404,7 +430,7 @@ def bounce_fused_diff(
     contrib, next_o, next_d, thr_mult, next_med4, term, wspec, rru = inner(
         gdata, mdata, ldata, scal, origin, direction, throughput, med4,
         sample_idx, depth_arr, prev_specular, seed,
-    )
+    )[:8]
     return BounceResult(
         contrib=contrib,
         next_origin=next_o,

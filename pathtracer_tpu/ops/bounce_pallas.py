@@ -775,6 +775,7 @@ def bounce_physics(
     *, nee: bool, t_min: float, features: frozenset = frozenset(),
     tex_defer: bool = False, vol_nee: bool = True,
     mesh_hit_fn=None, mesh_occ_fn=None, mesh_occ_split_fn=None,
+    replay=None, emit_replay: bool = False,
 ):
     """The ENTIRE per-bounce physics as a pure function of component
     planes and table scalar values — render/common.py's shade_bounce
@@ -811,28 +812,63 @@ def bounce_physics(
     ``mesh_hit_fn``, the mesh winner is computed INSIDE the kernel
     (mesh_in must be None); with ``mesh_occ_fn``, the NEE shadow ray
     tests triangles in-kernel too and nothing is deferred.  Neither is
-    passed under ``jax.vjp`` (the fused backward excludes meshes)."""
+    passed under ``jax.vjp`` (the fused backward excludes meshes).
+
+    **Winner replay** (r5, the fwd+bwd speed work): with
+    ``emit_replay=True`` the result also carries ``replay_gid`` (winner
+    geom id as float, -1 = miss) and ``replay_nee_add`` (the resolved
+    NEE candidate&visible bit).  The backward kernel feeds them back via
+    ``replay=``: the argmin sweep collapses to a one-hot winner
+    recompute and the NEE occlusion sweep is skipped outright.  Both
+    replays are gradient-exact: the discrete winner choice and the
+    visibility bit are comparisons (zero cotangent — the same detached
+    semantics the where-chain/boolean already had), and the replayed
+    winner recompute produces bit-identical values on every lane whose
+    output cotangents are nonzero."""
     n_geoms = len(gvals)
+    assert replay is None or (mesh_in is None and mesh_hit_fn is None)
     if mesh_hit_fn is not None:
         assert mesh_in is None
         mesh_in = mesh_hit_fn()
     mesh_merge = mesh_in is not None
 
     # ---- nearest hit (same unrolled pass as _nearest_hit_kernel)
-    best_t = jnp.full(o[0].shape, BIG, jnp.float32)
-    gid = jnp.zeros(o[0].shape, jnp.int32)
-    mid = jnp.zeros(o[0].shape, jnp.int32)
-    is_sphere = jnp.zeros(o[0].shape, jnp.float32)
-    w = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(6)]
-    for g in range(n_geoms):
-        t_g, obj = _geom_t(gvals[g], *o, *d, t_min)
-        better = t_g < best_t
-        sph_flag = jnp.where(gvals[g][12] == float(SPHERE), 1.0, 0.0)
-        best_t = jnp.where(better, t_g, best_t)
-        gid = jnp.where(better, g, gid)
-        mid = jnp.where(better, gvals[g][13].astype(jnp.int32), mid)
-        is_sphere = jnp.where(better, sph_flag, is_sphere)
-        w = [jnp.where(better, ob, prev) for ob, prev in zip(obj, w)]
+    if replay is not None:
+        # winner replay: the forward already resolved the argmin — select
+        # the winner's 14 table scalars per lane (one-hot chain) and
+        # recompute ONLY its intersection.  Bit-identical to the sweep on
+        # hit lanes (select-then-multiply == multiply-then-select), and
+        # miss lanes (replay gid < 0) only feed outputs whose cotangents
+        # the scan masks to zero.
+        rhit = replay["gid"] >= 0.0
+        gid = jnp.maximum(replay["gid"], 0.0).astype(jnp.int32)
+        gv = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(14)]
+        for g in range(n_geoms):
+            selg = gid == g
+            for k in range(14):
+                gv[k] = jnp.where(selg, gvals[g][k], gv[k])
+        t_win, obj = _geom_t(gv, *o, *d, t_min)
+        best_t = jnp.where(rhit, t_win, BIG)
+        mid = jnp.where(rhit, gv[13].astype(jnp.int32), 0)
+        is_sphere = jnp.where(rhit & (gv[12] == float(SPHERE)), 1.0, 0.0)
+        w = [jnp.where(rhit, ob, 0.0) for ob in obj]
+        gv_win = gv
+    else:
+        best_t = jnp.full(o[0].shape, BIG, jnp.float32)
+        gid = jnp.zeros(o[0].shape, jnp.int32)
+        mid = jnp.zeros(o[0].shape, jnp.int32)
+        is_sphere = jnp.zeros(o[0].shape, jnp.float32)
+        w = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(6)]
+        for g in range(n_geoms):
+            t_g, obj = _geom_t(gvals[g], *o, *d, t_min)
+            better = t_g < best_t
+            sph_flag = jnp.where(gvals[g][12] == float(SPHERE), 1.0, 0.0)
+            best_t = jnp.where(better, t_g, best_t)
+            gid = jnp.where(better, g, gid)
+            mid = jnp.where(better, gvals[g][13].astype(jnp.int32), mid)
+            is_sphere = jnp.where(better, sph_flag, is_sphere)
+            w = [jnp.where(better, ob, prev) for ob, prev in zip(obj, w)]
+        gv_win = None
     hit = best_t < BIG
     t_safe = jnp.where(hit, best_t, 1.0)
     p = vadd(o, vscale(t_safe, d))
@@ -851,13 +887,24 @@ def bounce_physics(
             jnp.where((~fx) & (~fy), jnp.sign(p_obj[2]), 0.0),
         ),
     )
-    nw = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(3)]
-    for g in range(n_geoms):
-        sel = gid == g
-        m = gvals[g]
-        nw[0] = jnp.where(sel, m[0] * n_obj[0] + m[4] * n_obj[1] + m[8] * n_obj[2], nw[0])
-        nw[1] = jnp.where(sel, m[1] * n_obj[0] + m[5] * n_obj[1] + m[9] * n_obj[2], nw[1])
-        nw[2] = jnp.where(sel, m[2] * n_obj[0] + m[6] * n_obj[1] + m[10] * n_obj[2], nw[2])
+    if gv_win is not None:
+        # replay: the winner's inverse-transform rows are already
+        # selected per lane — transform the normal directly (same values
+        # as the select-per-geom chain below)
+        m = gv_win
+        nw = [
+            m[0] * n_obj[0] + m[4] * n_obj[1] + m[8] * n_obj[2],
+            m[1] * n_obj[0] + m[5] * n_obj[1] + m[9] * n_obj[2],
+            m[2] * n_obj[0] + m[6] * n_obj[1] + m[10] * n_obj[2],
+        ]
+    else:
+        nw = [jnp.zeros(o[0].shape, jnp.float32) for _ in range(3)]
+        for g in range(n_geoms):
+            sel = gid == g
+            m = gvals[g]
+            nw[0] = jnp.where(sel, m[0] * n_obj[0] + m[4] * n_obj[1] + m[8] * n_obj[2], nw[0])
+            nw[1] = jnp.where(sel, m[1] * n_obj[0] + m[5] * n_obj[1] + m[9] * n_obj[2], nw[1])
+            nw[2] = jnp.where(sel, m[2] * n_obj[0] + m[6] * n_obj[1] + m[10] * n_obj[2], nw[2])
     normal = vnormalize(tuple(nw), 1e-24)
 
     # ---- mesh-winner merge: the nearest-triangle hit across the scene's
@@ -1025,7 +1072,7 @@ def bounce_physics(
     )
 
     # ---- NEE
-    nee_deferred = None
+    nee_deferred = add = None
     if nee:
         ls = _sample_lights_planes(lvals, svals, u[4], u[5], u[6], u[7])
         # resolve the sphere/cube pick with the picked light's type flag
@@ -1069,24 +1116,31 @@ def bounce_physics(
         wi = vscale(1.0 / dist, to_light)
         cos_x = vdot(n_shade, wi)
         cos_y = -vdot(ln, wi)
-        diffuse_lane = hit & (~emissive) & (~sc["is_specular"])
-        if has_vol:
-            diffuse_lane = diffuse_lane & not_vs
-        candidate = diffuse_lane & ls["valid"] & (cos_x > 0) & (cos_y > 0)
+        if replay is not None:
+            # visibility replay: candidate & visible was resolved by the
+            # forward — both are pure comparisons (zero cotangent), so
+            # feeding the bit back skips the whole occlusion sweep with
+            # identical gradients
+            candidate = visible = None
+        else:
+            diffuse_lane = hit & (~emissive) & (~sc["is_specular"])
+            if has_vol:
+                diffuse_lane = diffuse_lane & not_vs
+            candidate = diffuse_lane & ls["valid"] & (cos_x > 0) & (cos_y > 0)
 
-        # shadow occlusion vs the analytic geoms: second unrolled geom
-        # loop.  Visibility is boolean — comparisons carry no cotangent,
-        # so under jax.vjp this sweep transposes to nothing (the
-        # grad-lean detached-occlusion semantics for free).
-        occ_t = jnp.full(o[0].shape, BIG, jnp.float32)
-        for g in range(n_geoms):
-            t_g, _ = _geom_t(gvals[g], *x, *wi, t_min)
-            occ_t = jnp.minimum(occ_t, t_g)
-        if mesh_occ_fn is not None:
-            # in-kernel triangle occlusion: the shadow ray sweeps the
-            # SMEM triangle tables too — nothing left to defer
-            occ_t = jnp.minimum(occ_t, mesh_occ_fn(x, wi))
-        visible = occ_t >= dist - 4.0 * RAY_BIAS
+            # shadow occlusion vs the analytic geoms: second unrolled geom
+            # loop.  Visibility is boolean — comparisons carry no cotangent,
+            # so under jax.vjp this sweep transposes to nothing (the
+            # grad-lean detached-occlusion semantics for free).
+            occ_t = jnp.full(o[0].shape, BIG, jnp.float32)
+            for g in range(n_geoms):
+                t_g, _ = _geom_t(gvals[g], *x, *wi, t_min)
+                occ_t = jnp.minimum(occ_t, t_g)
+            if mesh_occ_fn is not None:
+                # in-kernel triangle occlusion: the shadow ray sweeps the
+                # SMEM triangle tables too — nothing left to defer
+                occ_t = jnp.minimum(occ_t, mesh_occ_fn(x, wi))
+            visible = occ_t >= dist - 4.0 * RAY_BIAS
 
         gterm = cos_x * cos_y / jnp.maximum(dist2, 1e-12)
         pdf_area = 1.0 / jnp.maximum(ls["total_area"], 1e-20)
@@ -1104,8 +1158,13 @@ def bounce_physics(
                 x=x, wi=wi, dist=dist, nee_rgb=nee_rgb,
                 cand_vis=jnp.where(candidate & visible, 1.0, 0.0),
             )
+            add = None
         else:
-            add = candidate & visible
+            add = (
+                replay["nee_add"] > 0.5
+                if replay is not None
+                else candidate & visible
+            )
             contrib = vadd(contrib, vwhere(add, nee_rgb, zero3))
 
     # surface emit-state: specular continues a suppressed chain
@@ -1114,6 +1173,17 @@ def bounce_physics(
         jnp.where(jnp.abs(prev_state - 2.0) < 0.5, 2.0, 1.0),
         0.0,
     )
+
+    replay_out = None
+    if emit_replay:
+        replay_out = dict(
+            replay_gid=jnp.where(hit, gid.astype(jnp.float32), -1.0),
+            replay_nee_add=(
+                jnp.where(add, 1.0, 0.0)
+                if (nee and add is not None)
+                else 0.0 * o[0]
+            ),
+        )
 
     if not has_vol:
         # vacuum transport: surface events only (render/common.py's
@@ -1134,6 +1204,8 @@ def bounce_physics(
         )
         if medium_g is not None:
             out["out_mg"] = medium_g
+        if replay_out is not None:
+            out.update(replay_out)
         return out
 
     # ---- in-medium scatter (render/common.py tail)
@@ -1265,6 +1337,8 @@ def bounce_physics(
             medium_g,
         )
         out["out_mg"] = jnp.where(vol_scatter, medium_g, surf_g)
+    if replay_out is not None:
+        out.update(replay_out)
     return out
 
 
@@ -1277,7 +1351,7 @@ def _bounce_kernel(
     n_geoms: int, n_materials: int, nee: bool, t_min: float,
     mesh_merge: bool = False, features: frozenset = frozenset(),
     tex_defer: bool = False, mesh_uv: bool = False, vol_nee: bool = True,
-    mesh_tables: tuple = (),
+    mesh_tables: tuple = (), emit_replay: bool = False,
 ):
     # ---- unpack refs (variadic: the mesh-merge variant adds 8 input and,
     # under NEE, 11 output planes; "hg" adds a medium-g input and output
@@ -1334,6 +1408,10 @@ def _bounce_kernel(
     if hg:
         omg_g_ref = refs[i]
         i += 1
+    replay_refs = None
+    if emit_replay:
+        replay_refs = refs[i : i + 2]
+        i += 2
     tex_refs = None
     if tex_defer:
         tex_refs = refs[i : i + 3]
@@ -1383,6 +1461,7 @@ def _bounce_kernel(
         vol_nee=vol_nee,
         mesh_hit_fn=mesh_hit_fn, mesh_occ_fn=mesh_occ_fn,
         mesh_occ_split_fn=mesh_occ_split_fn,
+        emit_replay=emit_replay,
     )
 
     cr_ref[:], cg_ref[:], cb_ref[:] = out["contrib"]
@@ -1397,6 +1476,9 @@ def _bounce_kernel(
     oms_ref[:] = out["out_ms"]
     if hg:
         omg_g_ref[:] = out["out_mg"]
+    if emit_replay:
+        replay_refs[0][:] = out["replay_gid"]
+        replay_refs[1][:] = out["replay_nee_add"]
     if tex_defer:
         tex_refs[0][:] = out["tex_out"]["u"]
         tex_refs[1][:] = out["tex_out"]["v"]
