@@ -60,6 +60,13 @@ class RenderConfig:
     # backward); True forces it (incl. interpret mode on CPU — tests);
     # False pins the lean XLA backward.  See
     # render/common.fused_diff_eligible.
+    grad_full_trace: bool | None = None  # full-depth differentiable trace
+    # (ops/trace_grad.py): ONE forward kernel streaming per-bounce
+    # residuals + ONE reverse-loop backward kernel per progressive
+    # iteration, replacing the per-bounce fused-diff scan (max_depth
+    # launches each way).  None = auto (on whenever the fused-diff
+    # engine qualifies — render/common.fused_diff_eligible); False pins
+    # the per-bounce fused-diff engine.
     grad_lean: bool = False  # gradient-lean intersection: winner search
     # under stop_gradient (Pallas kernel when pallas is active), O(N)
     # differentiable recompute of the winning primitive only, and a

@@ -66,6 +66,14 @@ def trace_paths(
     from pathtracer_tpu.render.common import fused_diff_eligible
 
     if cfg.grad_lean and fused_diff_eligible(scene, cfg):
+        if cfg.grad_full_trace is not False and not cfg.debug:
+            # Full-depth differentiable trace (ops/trace_grad.py): the
+            # whole bounce loop forward AND backward in one kernel each —
+            # replaces the per-bounce scan below (max_depth launches per
+            # direction) on eligible scenes.
+            from pathtracer_tpu.ops.trace_grad import trace_fused_diff
+
+            return trace_fused_diff(scene, rays, sample_idx, base_key, cfg)
         # Fused-diff path: shade_bounce routes to the custom_vjp Pallas
         # bounce (ops/bounce_grad.py) whose residuals are exactly the
         # scan carries — no remat wrapper needed (wrapping would force a

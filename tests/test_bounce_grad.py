@@ -8,11 +8,13 @@ interpret-mode vjp kernel inlines one unrolled select-chain per table row
 gradient path: emittance, diffuse albedo + NEE, specular mirror, Fresnel
 dielectric, TRS transforms, and the camera.
 
-Both configs pin ``auto_features=False`` so the comparison runs the FULL
-default feature blocks (texture/bump/volumetric/glossy) through both
-backward implementations — since r5 the kernels gate those blocks on
-``cfg.features`` exactly like the lean graph, so either setting stays
-consistent; the pin just maximizes the physics under test.
+Every test pins ``auto_features=False`` with an explicit feature tuple —
+the optional blocks are spread across the tests (matches_lean: glossy at
+depth 3; texture_bump / vol_nee_off / ct_ward: one block family each at
+depth 2) so that each test's cold interpret-mode compile stays in
+minutes (the lean comparison with the full default tuple takes tens).
+Each runs BOTH fused engines: the per-bounce custom_vjp scan
+(ops/bounce_grad.py) and the full-depth trace pair (ops/trace_grad.py).
 """
 
 import dataclasses
@@ -125,20 +127,26 @@ def mini():
 
 
 @pytest.mark.slow
-def test_fused_backward_matches_lean(mini):
-    """loss_and_grad via the Pallas vjp kernel == the lean XLA backward,
-    every SceneParams leaf, to fp32 reassociation tolerance."""
+@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
+def test_fused_backward_matches_lean(mini, full_trace):
+    """loss_and_grad via the Pallas vjp kernels == the lean XLA backward,
+    every SceneParams leaf, to fp32 reassociation tolerance — for BOTH
+    fused engines: the per-bounce custom_vjp scan (ops/bounce_grad.py)
+    and the full-depth one-kernel-each trace (ops/trace_grad.py)."""
     from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
 
     params, static = params_from_description(mini, 0)
     key = jax.random.PRNGKey(7)
     n = static.resolution[0] * static.resolution[1]
     target = jnp.full((n, 3), 0.25, jnp.float32)
-    # depth 3: the interpret-mode vjp kernel's CPU compile scales with
-    # the scan unroll — d3 keeps the test's cold compile in minutes on a
-    # 2-core box while still exercising multi-bounce cotangent chaining
+    # depth 3 exercises multi-bounce cotangent chaining; features trimmed
+    # to the scene's own needs plus "glossy" — the LEAN comparison's
+    # interpret/CPU compile with the full default block tuple takes tens
+    # of minutes cold (see vol_nee_off's note), and the other blocks have
+    # their own parity tests (texture_bump / vol_nee_off / ct_ward)
     base = RenderConfig(
-        wavefront=False, nee=True, max_depth=3, auto_features=False
+        wavefront=False, nee=True, max_depth=3, auto_features=False,
+        features=("glossy",),
     )
     l0, g0 = loss_and_grad(
         params, static, target, 1, key,
@@ -146,7 +154,7 @@ def test_fused_backward_matches_lean(mini):
     )
     l1, g1 = loss_and_grad(
         params, static, target, 1, key,
-        dataclasses.replace(base, grad_fused=True),
+        dataclasses.replace(base, grad_fused=True, grad_full_trace=full_trace),
     )
     assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
 
@@ -164,17 +172,22 @@ def test_fused_backward_matches_lean(mini):
 
 
 @pytest.mark.slow
-def test_fused_backward_nee_off(mini):
+@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
+def test_fused_backward_nee_off(mini, full_trace):
     """Same equality with the pure BSDF+emittance estimator (nee=False
-    exercises the kernel's non-NEE compile path under vjp)."""
+    exercises the kernels' non-NEE compile path under vjp — the replay
+    visibility plane is all-zeros there)."""
     from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
 
     params, static = params_from_description(mini, 0)
     key = jax.random.PRNGKey(3)
     n = static.resolution[0] * static.resolution[1]
     target = jnp.zeros((n, 3), jnp.float32)
+    # features=(): this test is about the non-NEE estimator, not the
+    # optional blocks — an empty tuple keeps the cold compile small
     base = RenderConfig(
-        wavefront=False, nee=False, max_depth=2, auto_features=False
+        wavefront=False, nee=False, max_depth=2, auto_features=False,
+        features=(),
     )
     l0, g0 = loss_and_grad(
         params, static, target, 1, key,
@@ -182,7 +195,7 @@ def test_fused_backward_nee_off(mini):
     )
     l1, g1 = loss_and_grad(
         params, static, target, 1, key,
-        dataclasses.replace(base, grad_fused=True),
+        dataclasses.replace(base, grad_fused=True, grad_full_trace=full_trace),
     )
     assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
     f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
@@ -192,11 +205,59 @@ def test_fused_backward_nee_off(mini):
 
 
 @pytest.mark.slow
-def test_fused_backward_vol_nee_off():
+@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
+def test_fused_backward_texture_bump(mini, full_trace):
+    """Procedural texture + bump blocks through both fused backward
+    engines vs the lean graph (split out of matches_lean so each test's
+    cold interpret compile stays in minutes)."""
+    import dataclasses as _dc
+
+    from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
+
+    desc = _dc.replace(mini, resolution=(24, 24))
+    params, static = params_from_description(desc, 0)
+    # material 1 (the floor) gets a checker texture + bump
+    mats = _dc.replace(
+        params.materials,
+        texture_type=params.materials.texture_type.at[1].set(1.0),
+        texture_scale=params.materials.texture_scale.at[1].set(2.0),
+        texture_color2=params.materials.texture_color2.at[1].set(
+            jnp.asarray([0.2, 0.8, 0.3])
+        ),
+        bump_scale=params.materials.bump_scale.at[1].set(6.0),
+        bump_amp=params.materials.bump_amp.at[1].set(0.2),
+    )
+    params = _dc.replace(params, materials=mats)
+    key = jax.random.PRNGKey(13)
+    n = static.resolution[0] * static.resolution[1]
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+    base = RenderConfig(
+        wavefront=False, nee=True, max_depth=2, auto_features=False,
+        features=("texture", "bump"),
+    )
+    l0, g0 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=False),
+    )
+    l1, g1 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=True, grad_full_trace=full_trace),
+    )
+    assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
+    f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
+    f1 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g1)])
+    scale = max(np.abs(f0).max(), 1.0)
+    np.testing.assert_allclose(f1, f0, atol=5e-4 * scale)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
+def test_fused_backward_vol_nee_off(full_trace):
     """cfg.vol_nee=False must reach the BACKWARD kernel too (ADVICE r4
     high: the flag was dropped on the bwd partial, so the backward
     differentiated vol-NEE physics the forward never computed — silently
-    wrong gradients on scattering-media scenes)."""
+    wrong gradients on scattering-media scenes).  Both engines; also the
+    full-depth engine's medium-carry (sigma) cotangent chain."""
     from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
     from pathtracer_tpu.scene.parser import parse_scene_text
 
@@ -225,7 +286,7 @@ def test_fused_backward_vol_nee_off():
     )
     l1, g1 = loss_and_grad(
         params, static, target, 1, key,
-        dataclasses.replace(base, grad_fused=True),
+        dataclasses.replace(base, grad_fused=True, grad_full_trace=full_trace),
     )
     assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
     f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
@@ -235,10 +296,11 @@ def test_fused_backward_vol_nee_off():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
 @pytest.mark.parametrize(
     "brdf_line", ["BRDF cooktorrance 0.35", "BRDF ward 0.2 0.5"]
 )
-def test_fused_backward_ct_ward(brdf_line):
+def test_fused_backward_ct_ward(brdf_line, full_trace):
     """Cook-Torrance/Ward scenes take the fused vjp path (the eligibility
     gate passes them) — pin the gradients against the lean backward
     (ADVICE r4: the docs claimed they were out of scope; they are in)."""
@@ -271,7 +333,7 @@ def test_fused_backward_ct_ward(brdf_line):
     )
     l1, g1 = loss_and_grad(
         params, static, target, 1, key,
-        dataclasses.replace(base, grad_fused=True),
+        dataclasses.replace(base, grad_fused=True, grad_full_trace=full_trace),
     )
     assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
     f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
