@@ -309,7 +309,9 @@ def _tfwd_call(
 ):
     """-> (radiance [N,3], nrays [], residuals tuple of [depth, rows, LANES])."""
     n = origin.shape[0]
-    tile = TFWD_ROWS * LANES
+    # pad to a multiple of BOTH tile sizes: the backward re-grids the
+    # same residual rows with its own (larger) tile
+    tile = max(TFWD_ROWS, TBWD_ROWS) * LANES
     npad = -(-n // tile) * tile
     rows = npad // LANES
     planes = (
@@ -361,6 +363,7 @@ def _tbwd_call(
 ):
     """-> (d_gdata, d_mdata, d_ldata, d_scal, d_origin, d_direction)."""
     rows = residuals[0].shape[1]
+    assert rows % TBWD_ROWS == 0, (rows, TBWD_ROWS)  # _tfwd_call pads for both
     npad = rows * LANES
     grid = (rows // TBWD_ROWS,)
     plane = pl.BlockSpec(
