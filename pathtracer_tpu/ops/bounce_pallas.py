@@ -210,36 +210,122 @@ def mesh_inkernel_eligible(meshes) -> bool:
     return sum(m.tri_verts.shape[0] for m in meshes) <= MESH_INKERNEL_MAX_TRIS
 
 
+MESH_CHUNK = 32  # triangles per culling chunk (in-kernel sweep)
+
+
+def _morton3_jnp(cent):
+    """[T, 3] float centroids -> 30-bit Morton codes (traceable twin of
+    ops/accel._morton3 — pack_mesh_tables runs inside jit)."""
+    lo = jnp.min(cent, axis=0)
+    hi = jnp.max(cent, axis=0)
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((cent - lo) / ext * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
 def pack_mesh_tables(meshes):
     """Static descriptors + flat SMEM tables for the in-kernel sweep.
 
-    Returns ``(descs, tables)``: per mesh a ``(geom_index, n_tris,
-    has_norm, has_uv)`` static tuple and 1-3 flat float32 arrays —
-    ``[T*12]`` (v0, e1, e2, face normal), ``[T*9]`` corner shading
-    normals, ``[T*6]`` corner UVs.  FILE order (no Morton permutation:
-    the in-kernel sweep tests every triangle, so chunk culling order is
-    irrelevant)."""
+    Returns ``(descs, tables)``: per mesh a ``(geom_index, n_chunks,
+    has_norm, has_uv)`` static tuple and 2-4 flat float32 arrays —
+    ``[Tp*12]`` (v0, e1, e2, face normal), ``[n_chunks*6]`` chunk AABBs
+    (lo xyz, hi xyz), then ``[Tp*9]`` corner shading normals and
+    ``[Tp*6]`` corner UVs when authored.
+
+    Triangles are MORTON-ORDERED by centroid and grouped into
+    :data:`MESH_CHUNK`-sized chunks whose object-space AABBs drive the
+    in-kernel culling (``mesh_sweep_planes``): a chunk whose AABB no
+    lane of the tile can hit nearer than its current winner is skipped
+    with a scalar branch — the 32 Moeller-Trumbore tests never issue.
+    The pad rows repeat the last triangle (duplicates cannot change a
+    nearest-hit and keep the final chunk's AABB tight —
+    ops/accel.build_mesh_accel's trick)."""
     descs = []
     tables = []
     for m in meshes:
-        tv = m.tri_verts
+        tv = jnp.asarray(m.tri_verts, jnp.float32)
+        has_norm = m.tri_norm is not None
+        has_uv = m.tri_uv is not None
+        tn = jnp.asarray(m.tri_norm, jnp.float32) if has_norm else None
+        tu = jnp.asarray(m.tri_uv, jnp.float32) if has_uv else None
+
+        order = jnp.argsort(_morton3_jnp(jnp.mean(tv, axis=1)), stable=True)
+        tv = tv[order]
+        tn = tn[order] if has_norm else None
+        tu = tu[order] if has_uv else None
+
+        t_count = tv.shape[0]
+        pad = (-t_count) % MESH_CHUNK
+        if pad:
+            tv = jnp.concatenate([tv, jnp.repeat(tv[-1:], pad, axis=0)], axis=0)
+            if has_norm:
+                tn = jnp.concatenate([tn, jnp.repeat(tn[-1:], pad, axis=0)], axis=0)
+            if has_uv:
+                tu = jnp.concatenate([tu, jnp.repeat(tu[-1:], pad, axis=0)], axis=0)
+        n_chunks = tv.shape[0] // MESH_CHUNK
+
         v0 = tv[:, 0]
         e1 = tv[:, 1] - tv[:, 0]
         e2 = tv[:, 2] - tv[:, 0]
         fn = jnp.cross(e1, e2)
+        tables.append(jnp.concatenate([v0, e1, e2, fn], axis=-1).reshape(-1))
+        ch = tv.reshape(n_chunks, MESH_CHUNK * 3, 3)
         tables.append(
-            jnp.concatenate([v0, e1, e2, fn], axis=-1).reshape(-1)
+            jnp.concatenate(
+                [jnp.min(ch, axis=1), jnp.max(ch, axis=1)], axis=-1
+            ).reshape(-1)
         )
-        has_norm = m.tri_norm is not None
-        has_uv = m.tri_uv is not None
         if has_norm:
-            tables.append(jnp.asarray(m.tri_norm, jnp.float32).reshape(-1))
+            tables.append(tn.reshape(-1))
         if has_uv:
-            tables.append(jnp.asarray(m.tri_uv, jnp.float32).reshape(-1))
-        descs.append(
-            (int(m.geom_index), int(tv.shape[0]), has_norm, has_uv)
-        )
+            tables.append(tu.reshape(-1))
+        descs.append((int(m.geom_index), int(n_chunks), has_norm, has_uv))
     return tuple(descs), tables
+
+
+def _chunk_cull_loop(tri_ref, aabb_ref, n_chunks, oo, od, t_min, inner,
+                     carry, et_of):
+    """Chunk-culled sweep skeleton: fori over Morton chunks; a chunk
+    whose AABB intersects no lane's ray nearer than that lane's current
+    best (``et_of(carry)``) is skipped with one scalar branch.  Exact:
+    chunk AABBs contain their triangles, so any hit in the chunk has
+    ``t >= aabb t_enter``."""
+
+    def srecip(x):
+        return 1.0 / jnp.where(
+            jnp.abs(x) < 1e-12, jnp.where(x >= 0, 1e-12, -1e-12), x
+        )
+
+    inv = (srecip(od[0]), srecip(od[1]), srecip(od[2]))
+
+    def chunk_body(c, carry):
+        b = c * 6
+        t_lo = []
+        t_hi = []
+        for ax in range(3):
+            t1 = (aabb_ref[b + ax] - oo[ax]) * inv[ax]
+            t2 = (aabb_ref[b + 3 + ax] - oo[ax]) * inv[ax]
+            t_lo.append(jnp.minimum(t1, t2))
+            t_hi.append(jnp.maximum(t1, t2))
+        tmin = jnp.maximum(
+            jnp.maximum(t_lo[0], t_lo[1]), jnp.maximum(t_lo[2], t_min)
+        )
+        tmax = jnp.minimum(jnp.minimum(t_hi[0], t_hi[1]), t_hi[2])
+        inter = (tmax >= tmin) & (tmin < et_of(carry))
+        any_hit = jnp.sum(jnp.where(inter, 1.0, 0.0)) > 0.0
+        return jax.lax.cond(
+            any_hit, lambda cr: inner(c, cr), lambda cr: cr, carry
+        )
+
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
 
 
 def _obj_ray(m, o, d):
@@ -299,9 +385,10 @@ def mesh_sweep_planes(descs, refs, gvals, o, d, t_min, want_uv: bool):
     emid = jnp.zeros(shape, jnp.int32)
     uu, vv, uvv = zero, zero, zero
     ri = 0
-    for g, n_tris, has_norm, has_uv in descs:
+    for g, n_chunks, has_norm, has_uv in descs:
         tri_ref = refs[ri]
-        ri += 1
+        aabb_ref = refs[ri + 1]
+        ri += 2
         nrm_ref = None
         uv_ref = None
         if has_norm:
@@ -363,8 +450,16 @@ def mesh_sweep_planes(descs, refs, gvals, o, d, t_min, want_uv: bool):
                 uvv = jnp.where(better, 0.0, uvv)
             return et, epo, enw, emid, uu, vv, uvv
 
-        et, epo, enw, emid, uu, vv, uvv = jax.lax.fori_loop(
-            0, n_tris, body, (et, epo, enw, emid, uu, vv, uvv)
+        def chunk_inner(c, carry):
+            def tri_body(j, cr):
+                return body(c * MESH_CHUNK + j, cr)
+
+            return jax.lax.fori_loop(0, MESH_CHUNK, tri_body, carry)
+
+        et, epo, enw, emid, uu, vv, uvv = _chunk_cull_loop(
+            tri_ref, aabb_ref, n_chunks, oo, od, t_min,
+            chunk_inner, (et, epo, enw, emid, uu, vv, uvv),
+            et_of=lambda carry: carry[0],
         )
     out = dict(
         et=et,
@@ -384,16 +479,25 @@ def mesh_occ_planes(descs, refs, gvals, x, wi, t_min):
     (min only — no winner tracking)."""
     occ = jnp.full(x[0].shape, BIG, jnp.float32)
     ri = 0
-    for g, n_tris, has_norm, has_uv in descs:
+    for g, n_chunks, has_norm, has_uv in descs:
         tri_ref = refs[ri]
-        ri += 1 + (1 if has_norm else 0) + (1 if has_uv else 0)
+        aabb_ref = refs[ri + 1]
+        ri += 2 + (1 if has_norm else 0) + (1 if has_uv else 0)
         oo, od = _obj_ray(gvals[g], x, wi)
 
         def body(i, occ, tri_ref=tri_ref, oo=oo, od=od):
             tc, _, _ = _mt_tri_planes(tri_ref, i * 12, oo, od, t_min)
             return jnp.minimum(occ, tc)
 
-        occ = jax.lax.fori_loop(0, n_tris, body, occ)
+        def chunk_inner(c, occ, body=body):
+            return jax.lax.fori_loop(
+                0, MESH_CHUNK, lambda j, oc: body(c * MESH_CHUNK + j, oc), occ
+            )
+
+        occ = _chunk_cull_loop(
+            tri_ref, aabb_ref, n_chunks, oo, od, t_min,
+            chunk_inner, occ, et_of=lambda occ: occ,
+        )
     return occ
 
 
@@ -406,9 +510,10 @@ def mesh_occ_split_planes(descs, refs, gvals, mvals, x, wi, t_min):
     occ_re = jnp.full(x[0].shape, BIG, jnp.float32)
     n_materials = len(mvals)
     ri = 0
-    for g, n_tris, has_norm, has_uv in descs:
+    for g, n_chunks, has_norm, has_uv in descs:
         tri_ref = refs[ri]
-        ri += 1 + (1 if has_norm else 0) + (1 if has_uv else 0)
+        aabb_ref = refs[ri + 1]
+        ri += 2 + (1 if has_norm else 0) + (1 if has_uv else 0)
         gv = gvals[g]
         refr_g = jnp.float32(0.0)
         for m in range(n_materials):
@@ -421,8 +526,15 @@ def mesh_occ_split_planes(descs, refs, gvals, mvals, x, wi, t_min):
             tc, _, _ = _mt_tri_planes(tri_ref, i * 12, oo, od, t_min)
             return jnp.minimum(occ, tc)
 
-        mt = jax.lax.fori_loop(
-            0, n_tris, body, jnp.full(x[0].shape, BIG, jnp.float32)
+        def chunk_inner(c, occ, body=body):
+            return jax.lax.fori_loop(
+                0, MESH_CHUNK, lambda j, oc: body(c * MESH_CHUNK + j, oc), occ
+            )
+
+        mt = _chunk_cull_loop(
+            tri_ref, aabb_ref, n_chunks, oo, od, t_min,
+            chunk_inner, jnp.full(x[0].shape, BIG, jnp.float32),
+            et_of=lambda occ: occ,
         )
         occ_op = jnp.minimum(occ_op, jnp.where(refr_g > 0.0, BIG, mt))
         occ_re = jnp.minimum(occ_re, jnp.where(refr_g > 0.0, mt, BIG))
@@ -1362,7 +1474,7 @@ def _bounce_kernel(
     base = 5
     mesh_refs = ()
     if mesh_tables:
-        n_mtab = sum(1 + int(hn) + int(hu) for _, _, hn, hu in mesh_tables)
+        n_mtab = sum(2 + int(hn) + int(hu) for _, _, hn, hu in mesh_tables)
         mesh_refs = refs[base : base + n_mtab]
         base += n_mtab
     (

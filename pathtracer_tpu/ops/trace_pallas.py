@@ -70,7 +70,7 @@ def _trace_kernel(
     base = 6
     mesh_refs = ()
     if mesh_tables:
-        n_mtab = sum(1 + int(hn) + int(hu) for _, _, hn, hu in mesh_tables)
+        n_mtab = sum(2 + int(hn) + int(hu) for _, _, hn, hu in mesh_tables)
         mesh_refs = refs[base : base + n_mtab]
         base += n_mtab
     (
