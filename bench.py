@@ -50,12 +50,13 @@ FWD_BWD_MRAYS_FLOOR = 180.0  # raised from 100: the full-depth diff
 # (two-stage one-hot atlas fetch, ops/texture.py); smooth_mesh 35.5
 # (in-kernel SMEM triangle sweep — winner, smooth vn normals, and NEE
 # occlusion all inside the fused kernels, ops/bounce_pallas.py
-# mesh_sweep_planes; mesh scenes now ride the full-depth trace kernel
-# too).
+# mesh_sweep_planes) -> 48.2 (Morton-chunked AABB culling: a chunk no
+# lane can hit nearer than its winner skips its 32 triangle tests with
+# one scalar branch).
 SCENE_MATRIX = [
     ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, 630.0, False),
     ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 30.0, True),
-    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 19.0, True),
+    ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 26.0, False),
     ("ward", "scenes/ward.txt", (512, 512), 32, 8, 190.0, False),
     ("sss", "scenes/sss.txt", (512, 512), 32, 8, 135.0, False),
 ]
