@@ -52,10 +52,12 @@ FWD_BWD_MRAYS_FLOOR = 180.0  # raised from 100: the full-depth diff
 # occlusion all inside the fused kernels, ops/bounce_pallas.py
 # mesh_sweep_planes) -> 48.2 (Morton-chunked AABB culling: a chunk no
 # lane can hit nearer than its winner skips its 32 triangle tests with
-# one scalar branch).
+# one scalar branch).  The mesh/textured rows ride the megakernel
+# engine since the in-kernel sweep + chunk culling made it the fastest
+# engine for them too (measured 48.2 vs 35.8 / 58.1 vs 54.3 wavefront).
 SCENE_MATRIX = [
     ("cornell", "scenes/cornell.txt", (800, 800), 64, 8, 630.0, False),
-    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 30.0, True),
+    ("textured_image", "scenes/textured_image.txt", (512, 512), 32, 8, 30.0, False),
     ("smooth_mesh", "scenes/smooth_mesh.txt", (512, 512), 32, 8, 26.0, False),
     ("ward", "scenes/ward.txt", (512, 512), 32, 8, 190.0, False),
     ("sss", "scenes/sss.txt", (512, 512), 32, 8, 135.0, False),
