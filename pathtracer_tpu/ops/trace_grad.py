@@ -96,7 +96,9 @@ def _step_update(out, o, d, thr, sa, ss, alive, dep, *, rr, rr_start):
         survive = out["rru"] < p
         inv_p = 1.0 / p
         thr2 = tuple(jnp.where(rr_active, t * inv_p, t) for t in thr2)
-        new_alive = jnp.where(rr_active, new_alive & survive, new_alive)
+        # boolean algebra, not where-on-bools: Mosaic cannot select i1
+        # vectors (arith.trunci i8->i1); where(c, a & s, a) == a & (s | ~c)
+        new_alive = new_alive & (survive | (~rr_active))
     next_o = tuple(
         jnp.where(new_alive, n, prev) for n, prev in zip(out["next_o"], o)
     )

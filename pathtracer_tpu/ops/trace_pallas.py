@@ -156,7 +156,9 @@ def _trace_kernel(
             throughput = tuple(
                 jnp.where(rr_active, t * inv_p, t) for t in throughput
             )
-            new_alive = jnp.where(rr_active, new_alive & survive, new_alive)
+            # boolean algebra, not where-on-bools: Mosaic cannot select
+            # i1 vectors; where(c, a & s, a) == a & (s | ~c)
+            new_alive = new_alive & (survive | (~rr_active))
         o = tuple(
             jnp.where(new_alive, n, prev) for n, prev in zip(out["next_o"], o)
         )

@@ -342,6 +342,38 @@ def test_fused_backward_ct_ward(brdf_line, full_trace):
     np.testing.assert_allclose(f1, f0, atol=5e-4 * scale)
 
 
+@pytest.mark.slow
+def test_fused_backward_russian_roulette(mini):
+    """Russian roulette through the full-depth trace pair vs the lean
+    backward.  Regression: the kernels' RR alive-update used
+    where-on-bools, which Mosaic cannot lower (arith.trunci i8->i1) —
+    the boolean-algebra form compiles and the detached-p gradients
+    match."""
+    from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
+
+    params, static = params_from_description(mini, 0)
+    key = jax.random.PRNGKey(7)
+    n = static.resolution[0] * static.resolution[1]
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+    base = RenderConfig(
+        wavefront=False, nee=True, max_depth=3, auto_features=False,
+        features=(), russian_roulette=True, rr_start=1,
+    )
+    l0, g0 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=False),
+    )
+    l1, g1 = loss_and_grad(
+        params, static, target, 1, key,
+        dataclasses.replace(base, grad_fused=True, grad_full_trace=True),
+    )
+    assert abs(float(l0) - float(l1)) <= 1e-6 * max(1.0, abs(float(l0)))
+    f0 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g0)])
+    f1 = np.concatenate([np.asarray(v).ravel() for v in jax.tree_util.tree_leaves(g1)])
+    scale = max(np.abs(f0).max(), 1.0)
+    np.testing.assert_allclose(f1, f0, atol=5e-4 * scale)
+
+
 def test_fused_diff_eligibility(cornell):
     """The auto predicate: on for analytic scenes under the kernel's
     scope, off for meshes / textures / split-path features / slow RNG."""
