@@ -67,7 +67,7 @@ from pathtracer_tpu.ops.intersect_pallas import LANES, _pack_gdata
 TFWD_ROWS = 32  # forward tile: same live set as trace_pallas + the
 # residual stores
 TBWD_ROWS = 64  # backward tile (measured on v5e, 800x800 d8 gspp4:
-# 16 -> 308.9, 32 -> 319.1, 64 -> 325.2 Mrays/s fwd+bwd; the winner-
+# 16 -> 309, 32 -> 319, 64 -> 318-325 Mrays/s fwd+bwd; the winner-
 # replay vjp's live set fits 64x128 tiles inside the raised scoped-VMEM
 # limit below)
 
