@@ -11,10 +11,15 @@ dielectric, TRS transforms, and the camera.
 Every test pins ``auto_features=False`` with an explicit feature tuple —
 the optional blocks are spread across the tests (matches_lean: glossy at
 depth 3; texture_bump / vol_nee_off / ct_ward: one block family each at
-depth 2) so that each test's cold interpret-mode compile stays in
-minutes (the lean comparison with the full default tuple takes tens).
-Each runs BOTH fused engines: the per-bounce custom_vjp scan
-(ops/bounce_grad.py) and the full-depth trace pair (ops/trace_grad.py).
+depth 2) so that each test's cold interpret-mode compile stays bounded
+(the lean comparison with the full default tuple takes tens of minutes).
+Engine coverage: the per-bounce custom_vjp scan (ops/bounce_grad.py) is
+pinned by every test; the full-depth trace pair (ops/trace_grad.py) by
+the ``fulltrace`` parametrizations of matches_lean and vol_nee_off plus
+the russian_roulette test — its engine-specific machinery (residual
+streaming, reverse chaining, padding) is config-independent, while the
+per-block physics is shared code already pinned via the per-bounce
+engine, and each fulltrace interpret compile is ~30 min cold.
 """
 
 import dataclasses
@@ -172,11 +177,16 @@ def test_fused_backward_matches_lean(mini, full_trace):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
-def test_fused_backward_nee_off(mini, full_trace):
+def test_fused_backward_nee_off(mini, full_trace=False):
     """Same equality with the pure BSDF+emittance estimator (nee=False
     exercises the kernels' non-NEE compile path under vjp — the replay
-    visibility plane is all-zeros there)."""
+    visibility plane is all-zeros there).  Per-bounce engine only: the
+    physics is engine-shared (bounce_physics + _step_update), and the
+    full-depth pair's own machinery (residual streaming, reverse
+    chaining, padding) is pinned by matches_lean[fulltrace] /
+    vol_nee_off[fulltrace] / russian_roulette — a fulltrace
+    parametrization here would only re-pay its ~30 min cold interpret
+    compile."""
     from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
 
     params, static = params_from_description(mini, 0)
@@ -205,11 +215,11 @@ def test_fused_backward_nee_off(mini, full_trace):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
-def test_fused_backward_texture_bump(mini, full_trace):
-    """Procedural texture + bump blocks through both fused backward
-    engines vs the lean graph (split out of matches_lean so each test's
-    cold interpret compile stays in minutes)."""
+def test_fused_backward_texture_bump(mini, full_trace=False):
+    """Procedural texture + bump blocks through the fused backward vs
+    the lean graph (split out of matches_lean so each test's cold
+    interpret compile stays in minutes; per-bounce engine only — see
+    nee_off's note)."""
     import dataclasses as _dc
 
     from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
@@ -296,11 +306,10 @@ def test_fused_backward_vol_nee_off(full_trace):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
 @pytest.mark.parametrize(
     "brdf_line", ["BRDF cooktorrance 0.35", "BRDF ward 0.2 0.5"]
 )
-def test_fused_backward_ct_ward(brdf_line, full_trace):
+def test_fused_backward_ct_ward(brdf_line, full_trace=False):
     """Cook-Torrance/Ward scenes take the fused vjp path (the eligibility
     gate passes them) — pin the gradients against the lean backward
     (ADVICE r4: the docs claimed they were out of scope; they are in)."""
