@@ -221,13 +221,29 @@ def _tbwd_kernel(
     g_sa = (zero,) * 3
     g_ss = zero
 
-    # running table cotangents, accumulated across the unrolled bounces
-    acc_g = [[jnp.float32(0.0)] * GDATA_COLS for _ in range(n_geoms)]
-    acc_m = [[jnp.float32(0.0)] * MAT_FIELDS for _ in range(n_materials)]
-    acc_l = [[jnp.float32(0.0)] * LDATA_COLS for _ in range(n_geoms)]
-    acc_s = [jnp.float32(0.0), jnp.float32(0.0)]
+    # running table cotangents, accumulated across the bounce loop
+    acc_g = tuple(
+        tuple(jnp.float32(0.0) for _ in range(GDATA_COLS))
+        for _ in range(n_geoms)
+    )
+    acc_m = tuple(
+        tuple(jnp.float32(0.0) for _ in range(MAT_FIELDS))
+        for _ in range(n_materials)
+    )
+    acc_l = tuple(
+        tuple(jnp.float32(0.0) for _ in range(LDATA_COLS))
+        for _ in range(n_geoms)
+    )
+    acc_s = (jnp.float32(0.0), jnp.float32(0.0))
 
-    for dep in reversed(range(max_depth)):
+    # ONE fori_loop body (not a static unroll): the in-kernel vjp is by
+    # far the largest code body in the framework — unrolled max_depth
+    # times it cost ~30 min of cold interpret-mode compile per config
+    # and a matching icache footprint on TPU.  Residual reads index the
+    # depth axis dynamically instead.
+    def bounce_bwd(i, carry):
+        g_o, g_d, g_thr, g_sa, g_ss, acc_g, acc_m, acc_l, acc_s = carry
+        dep = max_depth - 1 - i
         o = tuple(res_refs[k][dep] for k in range(3))
         d = tuple(res_refs[k][dep] for k in range(3, 6))
         thr = tuple(res_refs[k][dep] for k in range(6, 9))
@@ -255,17 +271,27 @@ def _tbwd_kernel(
         d_o, d_d, d_thr, d_sa, d_ss, d_g, d_m, d_l, d_s = vjp(
             (g_rad, g_o, g_d, g_thr, g_sa, g_ss)
         )
-        g_o, g_d, g_thr, g_sa, g_ss = d_o, d_d, d_thr, d_sa, d_ss
-        for g in range(n_geoms):
-            for k in range(GDATA_COLS):
-                acc_g[g][k] += d_g[g][k]
-            for k in range(LDATA_COLS):
-                acc_l[g][k] += d_l[g][k]
-        for m in range(n_materials):
-            for k in range(MAT_FIELDS):
-                acc_m[m][k] += d_m[m][k]
-        acc_s[0] += d_s[0]
-        acc_s[1] += d_s[1]
+        acc_g = tuple(
+            tuple(a + d_g[g][k] for k, a in enumerate(row))
+            for g, row in enumerate(acc_g)
+        )
+        acc_l = tuple(
+            tuple(a + d_l[g][k] for k, a in enumerate(row))
+            for g, row in enumerate(acc_l)
+        )
+        acc_m = tuple(
+            tuple(a + d_m[m][k] for k, a in enumerate(row))
+            for m, row in enumerate(acc_m)
+        )
+        acc_s = (acc_s[0] + d_s[0], acc_s[1] + d_s[1])
+        return d_o, d_d, d_thr, d_sa, d_ss, acc_g, acc_m, acc_l, acc_s
+
+    g_o, g_d, g_thr, g_sa, g_ss, acc_g, acc_m, acc_l, acc_s = (
+        jax.lax.fori_loop(
+            0, max_depth, bounce_bwd,
+            (g_o, g_d, g_thr, g_sa, g_ss, acc_g, acc_m, acc_l, acc_s),
+        )
+    )
 
     dox_ref[:], doy_ref[:], doz_ref[:] = g_o
     ddx_ref[:], ddy_ref[:], ddz_ref[:] = g_d
