@@ -38,7 +38,7 @@ NAIVE_MEGAKERNEL_R1_MRAYS = 6.4  # round-1 masked megakernel, same chip
 # non-blocking regression floors, ~55% of the measured numbers
 FWD_MRAYS_FLOOR = 630.0  # r5 feature-gated monolith (1148 measured)
 FWD_BWD_MRAYS_FLOOR = 180.0  # raised from 100: the full-depth diff
-# engine (ops/trace_grad.py, winner-replay backward) measured 325
+# engine (ops/trace_grad.py, winner-replay backward) measured 318-325
 
 # (name, scene file, resolution, spp, depth, Mrays/s floor, wavefront)
 # floors ~55% of measured.  Series on v5e: r4 start cornell 577 /
