@@ -219,7 +219,10 @@ def test_fused_backward_texture_bump(mini, full_trace=False):
     """Procedural texture + bump blocks through the fused backward vs
     the lean graph (split out of matches_lean so each test's cold
     interpret compile stays in minutes; per-bounce engine only — see
-    nee_off's note)."""
+    nee_off's note).  Depth 1: the blocks' gradient paths (albedo
+    modulation, bumped-normal NEE cosines, continuation weights) are
+    fully exercised at the first hit, and their transposes dominate the
+    cold compile — multi-bounce chaining is matches_lean's job."""
     import dataclasses as _dc
 
     from pathtracer_tpu.render.diff import loss_and_grad, params_from_description
@@ -242,7 +245,7 @@ def test_fused_backward_texture_bump(mini, full_trace=False):
     n = static.resolution[0] * static.resolution[1]
     target = jnp.full((n, 3), 0.25, jnp.float32)
     base = RenderConfig(
-        wavefront=False, nee=True, max_depth=2, auto_features=False,
+        wavefront=False, nee=True, max_depth=1, auto_features=False,
         features=("texture", "bump"),
     )
     l0, g0 = loss_and_grad(
