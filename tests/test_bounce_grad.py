@@ -11,7 +11,7 @@ dielectric, TRS transforms, and the camera.
 Every test pins ``auto_features=False`` with an explicit feature tuple —
 the optional blocks are spread across the tests (matches_lean: glossy at
 depth 3; texture_bump / vol_nee_off / ct_ward: one block family each at
-depth 2) so that each test's cold interpret-mode compile stays bounded
+depth 1-2) so that each test's cold interpret-mode compile stays bounded
 (the lean comparison with the full default tuple takes tens of minutes).
 Engine coverage: the per-bounce custom_vjp scan (ops/bounce_grad.py) is
 pinned by every test; the full-depth trace pair (ops/trace_grad.py) by
