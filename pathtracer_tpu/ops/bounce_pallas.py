@@ -1358,13 +1358,27 @@ def bounce_physics(
     vol_state = jnp.full(o[0].shape, 1.0, jnp.float32)
     if nee and vol_nee and (not mesh_merge or mesh_occ_split_fn is not None):
         n_materials = len(mvals)
-        to_l = vsub(lp, vol_pos)
+        # a lane that did NOT scatter has free_path ~1e30, so vol_pos is
+        # ~1e30 — squaring it in the occlusion recompute overflows to
+        # inf and inf-inf NaNs poison the vjp even under the cand_v mask
+        # (0 x NaN = NaN in the transpose).  Use the (finite) ray origin
+        # on those lanes: their contribution is masked off, and scatter
+        # lanes are bit-unchanged.
+        vp = vwhere(vol_scatter, vol_pos, o)
+        to_l = vsub(lp, vp)
         d2v = vdot(to_l, to_l)
         distv = jnp.sqrt(jnp.maximum(d2v, 1e-12))
         wiv = vscale(1.0 / distv, to_l)
         cos_yv = -vdot(ln, wiv)
         cand_v = vol_scatter & ls["valid"] & (cos_yv > 0)
 
+        # occlusion split: DETACHED, exactly like the split path
+        # (render/common.py stop_gradients the shadow ray, the geoms,
+        # and both t outputs) — visibility is discrete and the boundary
+        # distance is treated as a constant of the transmittance
+        sg = jax.lax.stop_gradient
+        vp_sg = (sg(vp[0]), sg(vp[1]), sg(vp[2]))
+        wiv_sg = (sg(wiv[0]), sg(wiv[1]), sg(wiv[2]))
         # per-geom refractive flag (scalar select over materials)
         occ_op = jnp.full(o[0].shape, BIG, jnp.float32)
         occ_re = jnp.full(o[0].shape, BIG, jnp.float32)
@@ -1374,15 +1388,17 @@ def bounce_physics(
                 refr_g = jnp.where(
                     gvals[g][13].astype(jnp.int32) == m, mvals[m][7], refr_g
                 )
-            t_g, _ = _geom_t(gvals[g], *vol_pos, *wiv, t_min)
+            t_g, _ = _geom_t(
+                [sg(v) for v in gvals[g]], *vp_sg, *wiv_sg, t_min
+            )
             occ_op = jnp.minimum(occ_op, jnp.where(refr_g > 0.0, BIG, t_g))
             occ_re = jnp.minimum(occ_re, jnp.where(refr_g > 0.0, t_g, BIG))
         if mesh_occ_split_fn is not None:
-            m_op, m_re = mesh_occ_split_fn(vol_pos, wiv)
+            m_op, m_re = mesh_occ_split_fn(vp_sg, wiv_sg)
             occ_op = jnp.minimum(occ_op, m_op)
             occ_re = jnp.minimum(occ_re, m_re)
-        visible_v = occ_op >= distv - 4.0 * RAY_BIAS
-        seg_v = jnp.minimum(occ_re, distv)
+        visible_v = sg(occ_op) >= sg(distv) - 4.0 * RAY_BIAS
+        seg_v = jnp.minimum(sg(occ_re), distv)
         transmit = (
             jnp.exp(-(sigma_a[0] + sigma_s) * seg_v),
             jnp.exp(-(sigma_a[1] + sigma_s) * seg_v),

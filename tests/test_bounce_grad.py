@@ -264,8 +264,9 @@ def test_fused_backward_texture_bump(mini, full_trace=False):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("vol_nee", [False, True], ids=["vnee0", "vnee1"])
 @pytest.mark.parametrize("full_trace", [False, True], ids=["perbounce", "fulltrace"])
-def test_fused_backward_vol_nee_off(full_trace):
+def test_fused_backward_vol_nee_off(full_trace, vol_nee):
     """cfg.vol_nee=False must reach the BACKWARD kernel too (ADVICE r4
     high: the flag was dropped on the bwd partial, so the backward
     differentiated vol-NEE physics the forward never computed — silently
@@ -289,8 +290,13 @@ def test_fused_backward_vol_nee_off(full_trace):
     # features trimmed to the block under test ("volumetric") — the full
     # default tuple made the lean backward's interpret/CPU compile take
     # tens of minutes; depth 2 covers enter-medium -> in-medium scatter
+    # vol_nee=True is the NaN regression (r5): the kernels' vol-NEE
+    # occlusion ran differentiable on the non-scatter lanes' ~1e30
+    # vol_pos — inf/NaN intermediates poisoned the whole gradient even
+    # under the candidate mask; the fix clamps the position and detaches
+    # the occlusion exactly like the split path
     base = RenderConfig(
-        wavefront=False, nee=True, vol_nee=False, max_depth=2,
+        wavefront=False, nee=True, vol_nee=vol_nee, max_depth=2,
         auto_features=False, features=("volumetric",),
     )
     l0, g0 = loss_and_grad(
